@@ -1,0 +1,157 @@
+"""Interpolated attention: the core AID/PAID primitive, TPU-first.
+
+The reference implements this family as six torch ``AttnProcessor`` classes
+monkey-patched into a diffusers UNet (reference interpolation.py:10-804).
+Here it is a single pure function over batched multi-head tensors with a
+per-frame coefficient vector, so the whole denoising loop stays inside one
+XLA program. Modes:
+
+  * ``outer``  (reference interpolation.py:548-679, OuterInterpolatedAttnProcessor):
+        out_i = (1-c_i) * Attn(Q_i, K_b, V_b) + c_i * Attn(Q_i, K_e, V_e)
+  * ``inner``  (reference interpolation.py:682-804, InnerInterpolatedAttnProcessor):
+        K_x = (1-c_i) K_b + c_i K_e   (same for V), out_i = Attn(Q_i, K_x, V_x)
+  * ``fused`` variants concatenate each frame's own K/V in front along the
+    sequence axis (reference interpolation.py:643-649):
+        Attn(Q_i, [K_i; K_*], [V_i; V_*])
+
+where frame b (begin) and frame e (end) are batch rows 0 and B-1 unless
+explicit endpoint tensors are supplied (IP-Adapter branches supply their
+own). Softmax is computed in float32 regardless of input dtype (TPU
+numerics best practice; diffusers' get_attention_scores with
+upcast_attention behaves the same way).
+
+Shapes use the multi-head layout (B, H, S, D): batch/frames, heads, sequence,
+head dim.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class AttnMode(str, enum.Enum):
+    """Interpolated-attention mode names, matching the reference's
+    early/late strings (gradio_src/pipeline_interpolated_stable_diffusion.py:262-268)."""
+
+    SELF = "self"              # vanilla attention (deactivated processor)
+    PURE_OUTER = "pure_outer"
+    FUSED_OUTER = "fused_outer"
+    PURE_INNER = "pure_inner"
+    FUSED_INNER = "fused_inner"
+
+    @property
+    def is_outer(self) -> bool:
+        return self in (AttnMode.PURE_OUTER, AttnMode.FUSED_OUTER)
+
+    @property
+    def is_inner(self) -> bool:
+        return self in (AttnMode.PURE_INNER, AttnMode.FUSED_INNER)
+
+    @property
+    def is_fused(self) -> bool:
+        return self in (AttnMode.FUSED_OUTER, AttnMode.FUSED_INNER)
+
+
+def _softmax_attn(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Attention core: softmax(q k^T * scale) v with float32 softmax.
+
+    q: (..., Sq, D), k/v: (..., Sk, D) -> (..., Sq, D).
+    """
+    dtype = q.dtype
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * jnp.float32(scale)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...qk,...kd->...qd", probs.astype(dtype), v, preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Plain multi-head attention on (B, H, S, D) tensors."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _softmax_attn(q, k, v, scale)
+
+
+def interpolated_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    coef: jnp.ndarray,
+    mode: AttnMode | str,
+    k_begin: Optional[jnp.ndarray] = None,
+    v_begin: Optional[jnp.ndarray] = None,
+    k_end: Optional[jnp.ndarray] = None,
+    v_end: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Interpolated attention over a frame batch.
+
+    Args:
+      q: queries (B, H, Sq, D) — one row per frame.
+      k, v: per-frame keys/values (B, H, Sk, D). For self-attention these are
+        projections of each frame's own hidden states; for cross-attention,
+        of each frame's text embeddings.
+      coef: (B,) per-frame interpolation coefficients t_i in [0, 1]
+        (reference: ``self.coef``, interpolation.py:29-31).
+      mode: AttnMode (or its string value). ``self`` ignores coef/endpoints.
+      k_begin / v_begin / k_end / v_end: optional explicit endpoint K/V of
+        shape (H, Sk, D) or (B, H, Sk, D). Default: rows 0 and B-1 of k/v
+        (reference interpolation.py:627-630).
+      scale: attention scale; default D**-0.5.
+
+    Returns:
+      (B, H, Sq, D) attention output, same dtype as q.
+    """
+    mode = AttnMode(mode)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if mode == AttnMode.SELF:
+        return _softmax_attn(q, k, v, scale)
+
+    def _endpoint(x, explicit, row):
+        if explicit is None:
+            ep = x[row]
+        else:
+            ep = explicit
+            if ep.ndim == q.ndim:  # (B,H,S,D) given; rows identical by construction
+                ep = ep[row]
+        return jnp.broadcast_to(ep[None], x.shape)
+
+    kb = _endpoint(k, k_begin, 0)
+    vb = _endpoint(v, v_begin, 0)
+    ke = _endpoint(k, k_end, -1)
+    ve = _endpoint(v, v_end, -1)
+
+    c = coef.astype(jnp.float32).reshape(-1, 1, 1, 1)
+
+    if mode.is_inner:
+        # Interpolate K/V first (reference interpolation.py:771-775), then a
+        # single attention pass; fused prepends each frame's own K/V
+        # (interpolation.py:781-785: key_cross = cat([key, key_cross])).
+        k_cross = ((1.0 - c) * kb.astype(jnp.float32) + c * ke.astype(jnp.float32)).astype(k.dtype)
+        v_cross = ((1.0 - c) * vb.astype(jnp.float32) + c * ve.astype(jnp.float32)).astype(v.dtype)
+        if mode.is_fused:
+            k_cross = jnp.concatenate([k, k_cross], axis=-2)
+            v_cross = jnp.concatenate([v, v_cross], axis=-2)
+        return _softmax_attn(q, k_cross, v_cross, scale)
+
+    # Outer: two attention passes blended by coef (interpolation.py:651-664).
+    if mode.is_fused:
+        kb = jnp.concatenate([k, kb], axis=-2)
+        vb = jnp.concatenate([v, vb], axis=-2)
+        ke = jnp.concatenate([k, ke], axis=-2)
+        ve = jnp.concatenate([v, ve], axis=-2)
+    out_begin = _softmax_attn(q, kb, vb, scale)
+    out_end = _softmax_attn(q, ke, ve, scale)
+    out = (1.0 - c) * out_begin.astype(jnp.float32) + c * out_end.astype(jnp.float32)
+    return out.astype(q.dtype)

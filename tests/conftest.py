@@ -1,0 +1,18 @@
+"""Test config: force CPU backend with 8 virtual devices so sharding tests
+run without real TPU hardware (SURVEY.md §4 'Multi-chip')."""
+
+import os
+
+# The session environment pins JAX_PLATFORMS=axon (real TPU tunnel) and a
+# sitecustomize imports jax at interpreter startup, so env vars alone are too
+# late here — use jax.config.update, which works any time before backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,126 @@
+"""Kernel-level tests: batched interpolated attention vs a naive per-frame
+oracle implementing the exact reference formulas
+(reference interpolation.py:548-679 outer, :682-804 inner).
+SURVEY.md §4 'Kernel'."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aid_tpu.ops import AttnMode, attention, interpolated_attention
+
+B, H, S, L, D = 5, 2, 6, 4, 8
+
+
+def _np_attn(q, k, v, scale):
+    logits = q @ k.swapaxes(-1, -2) * scale
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(axis=-1, keepdims=True)
+    return p @ v
+
+
+def _oracle(q, k, v, coef, mode):
+    """Per-frame numpy implementation of the reference processor math."""
+    scale = q.shape[-1] ** -0.5
+    kb, vb = k[0], v[0]
+    ke, ve = k[-1], v[-1]
+    out = np.zeros_like(q)
+    for i in range(q.shape[0]):
+        c = coef[i]
+        if mode == "self":
+            out[i] = _np_attn(q[i], k[i], v[i], scale)
+        elif mode in ("pure_outer", "fused_outer"):
+            kbi, vbi, kei, vei = kb, vb, ke, ve
+            if mode == "fused_outer":
+                kbi = np.concatenate([k[i], kb], axis=-2)
+                vbi = np.concatenate([v[i], vb], axis=-2)
+                kei = np.concatenate([k[i], ke], axis=-2)
+                vei = np.concatenate([v[i], ve], axis=-2)
+            out[i] = (1 - c) * _np_attn(q[i], kbi, vbi, scale) + c * _np_attn(q[i], kei, vei, scale)
+        else:
+            kx = (1 - c) * kb + c * ke
+            vx = (1 - c) * vb + c * ve
+            if mode == "fused_inner":
+                kx = np.concatenate([k[i], kx], axis=-2)
+                vx = np.concatenate([v[i], vx], axis=-2)
+            out[i] = _np_attn(q[i], kx, vx, scale)
+    return out
+
+
+@pytest.fixture
+def qkv():
+    rng = np.random.default_rng(42)
+    q = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    coef = np.linspace(0, 1, B).astype(np.float32)
+    return q, k, v, coef
+
+
+@pytest.mark.parametrize(
+    "mode", ["self", "pure_outer", "fused_outer", "pure_inner", "fused_inner"]
+)
+def test_matches_per_frame_oracle(qkv, mode):
+    q, k, v, coef = qkv
+    got = np.asarray(
+        interpolated_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(coef), mode)
+    )
+    want = _oracle(q, k, v, coef, mode)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_endpoint_frames_are_fixed_points(qkv):
+    """With coef[0]=0 and coef[-1]=1, fused-outer endpoint frames attend only
+    to [own; own] K/V, i.e. exactly their vanilla attention output."""
+    q, k, v, coef = qkv
+    out = np.asarray(
+        interpolated_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(coef), AttnMode.FUSED_OUTER)
+    )
+    vanilla = np.asarray(attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(out[0], vanilla[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out[-1], vanilla[-1], rtol=2e-5, atol=2e-5)
+
+
+def test_explicit_endpoints_override(qkv):
+    q, k, v, coef = qkv
+    rng = np.random.default_rng(7)
+    kb = rng.normal(size=(H, L, D)).astype(np.float32)
+    vb = rng.normal(size=(H, L, D)).astype(np.float32)
+    ke = rng.normal(size=(H, L, D)).astype(np.float32)
+    ve = rng.normal(size=(H, L, D)).astype(np.float32)
+    got = np.asarray(
+        interpolated_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(coef),
+            AttnMode.PURE_OUTER,
+            k_begin=jnp.asarray(kb), v_begin=jnp.asarray(vb),
+            k_end=jnp.asarray(ke), v_end=jnp.asarray(ve),
+        )
+    )
+    k2 = k.copy(); v2 = v.copy()
+    k2[0], v2[0], k2[-1], v2[-1] = kb, vb, ke, ve
+    want = _oracle(q, k2, v2, coef, "pure_outer")
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_inner_with_midpoint_coef_is_kv_average(qkv):
+    q, k, v, _ = qkv
+    coef = jnp.full((B,), 0.5)
+    got = np.asarray(
+        interpolated_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), coef, AttnMode.PURE_INNER)
+    )
+    kx = 0.5 * (k[0] + k[-1])
+    vx = 0.5 * (v[0] + v[-1])
+    scale = D ** -0.5
+    want = np.stack([_np_attn(q[i], kx, vx, scale) for i in range(B)])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_bfloat16_runs(qkv):
+    q, k, v, coef = qkv
+    out = interpolated_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(coef), AttnMode.FUSED_OUTER,
+    )
+    assert out.dtype == jnp.bfloat16
+    assert out.shape == (B, H, S, D)
