@@ -1,0 +1,304 @@
+"""UNet building blocks (flax.linen), TPU-first (NHWC, bf16-friendly).
+
+Implements the architectural semantics of the diffusers modules the reference
+relies on (reference pipeline_interpolated_sd.py:18-61 imports them from
+diffusers): ResnetBlock2D, Transformer2DModel/BasicTransformerBlock,
+Down/Upsample2D, timestep embeddings — written from scratch for XLA.
+
+Every attention layer takes an optional :class:`AidContext`; the AID
+processor family (reference interpolation.py) is a per-call static mode plus
+a traced per-frame coefficient vector rather than monkey-patched module
+state, so denoising loops compile once and never touch the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aid_tpu.ops.attention import AttnMode, interpolated_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class AidMode:
+    """Static AID behavior for one UNet forward pass.
+
+    ``text``: interpolation mode applied to the native (self/cross text)
+    attention branch of every layer (reference load_aid,
+    pipeline_interpolated_sd.py:950-970).
+    ``ip``: image-prompt branch handling when IP-Adapter weights are loaded
+    (reference load_aid_ip_adapter, pipeline_interpolated_sd.py:973-1010):
+      * None          — no IP branch (no adapter loaded)
+      * "own"         — vanilla per-frame IP attention (diffusers
+                        IPAdapterAttnProcessor behavior; also the activated
+                        ScaleControl branch, interpolation.py:186-196)
+      * "pure_outer" / "fused_outer" / "pure_inner" / "fused_inner"
+                      — interpolated IP attention (interpolation.py:328-367,
+                        :500-530)
+    ``ip_coef_scaled``: weight the IP branch by the per-frame coefficient
+    (ScaleControlIPAttnProcessor, interpolation.py:146-150,196) instead of
+    the global adapter scale.
+
+    NOTE (deviation): the reference's activated InnerInterpolatedIP path
+    (interpolation.py:525) calls attention with un-head-batched own IP keys,
+    which raises a shape error in torch and is therefore unreachable; we
+    implement the evidently intended inner-interpolated IP attention.
+    """
+
+    text: AttnMode = AttnMode.SELF
+    ip: Optional[str] = None
+    ip_coef_scaled: bool = False
+
+    @staticmethod
+    def vanilla(has_ip: bool = False, scale_control: bool = False) -> "AidMode":
+        if scale_control:
+            return AidMode(text=AttnMode.SELF, ip="own", ip_coef_scaled=True)
+        return AidMode(text=AttnMode.SELF, ip="own" if has_ip else None)
+
+    @staticmethod
+    def from_name(name: str, has_ip: bool = False) -> "AidMode":
+        """Map the reference's early/late strings to an AidMode."""
+        if name == "self":
+            return AidMode.vanilla(has_ip=has_ip)
+        if name == "scale_control":
+            return AidMode(text=AttnMode.FUSED_OUTER, ip="own", ip_coef_scaled=True)
+        mode = AttnMode(name)
+        return AidMode(text=mode, ip=name if has_ip else None)
+
+
+@dataclasses.dataclass
+class AidContext:
+    """Traced AID inputs for one UNet forward pass.
+
+    ``coef``: (B,) per-frame interpolation coefficients.
+    ``mode``: static AidMode (hashable; participates in trace cache keys).
+    ``ip_hidden_states``: (B, ip_tokens, ip_dim) image-prompt embeds for this
+    pass (cond or uncond half), or None.
+    ``ip_scale``: global IP-Adapter scale (reference ip_attn.scale[0]).
+    """
+
+    coef: jnp.ndarray
+    mode: AidMode = AidMode()
+    ip_hidden_states: Optional[jnp.ndarray] = None
+    ip_scale: float = 1.0
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, diffusers get_timestep_embedding semantics."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """Two-layer MLP over the sinusoidal embedding (time_embedding.linear_1/2)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class ResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D: GN-SiLU-Conv x2 with timestep injection."""
+
+    out_channels: int
+    norm_num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        in_channels = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+        temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+        h = h + temb[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with the AID interpolation family built in.
+
+    Replaces the reference's processor monkey-patching
+    (interpolation.py:548-679 etc.): the mode is a static argument and the
+    per-frame coefficient a traced vector.
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    has_ip: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, encoder_hidden=None, aid: Optional[AidContext] = None):
+        inner = self.num_heads * self.head_dim
+        is_cross = encoder_hidden is not None
+        kv_src = encoder_hidden if is_cross else hidden
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv_src)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv_src)
+
+        def heads(x):  # (B, S, H*D) -> (B, H, S, D)
+            b, s, _ = x.shape
+            return x.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        def unheads(x):  # (B, H, S, D) -> (B, S, H*D)
+            b, h, s, d = x.shape
+            return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+        q, k, v = heads(q), heads(k), heads(v)
+
+        if aid is None:
+            mode, coef = AttnMode.SELF, None
+        else:
+            mode, coef = aid.mode.text, aid.coef
+
+        out = interpolated_attention(q, k, v, coef if coef is not None else jnp.zeros((q.shape[0],)), mode)
+
+        # IP-Adapter branch: cross-attention layers only
+        # (reference interpolation.py:328-367 outer, :186-196 scale control).
+        if self.has_ip and is_cross and aid is not None and aid.mode.ip is not None and aid.ip_hidden_states is not None:
+            ip_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(aid.ip_hidden_states)
+            ip_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(aid.ip_hidden_states)
+            ip_k, ip_v = heads(ip_k), heads(ip_v)
+            ip_mode = AttnMode.SELF if aid.mode.ip == "own" else AttnMode(aid.mode.ip)
+            ip_out = interpolated_attention(q, ip_k, ip_v, aid.coef, ip_mode)
+            if aid.mode.ip_coef_scaled:
+                w = aid.coef.astype(jnp.float32).reshape(-1, 1, 1, 1)
+                out = (out.astype(jnp.float32) + w * ip_out.astype(jnp.float32)).astype(out.dtype)
+            else:
+                out = out + jnp.asarray(aid.ip_scale, out.dtype) * ip_out
+
+        out = unheads(out)
+        out = nn.Dense(self.out_dim, dtype=self.dtype, name="to_out_0")(out)
+        return out
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers FeedForward with geglu activation)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        x_p, gate = jnp.split(proj, 2, axis=-1)
+        x = x_p * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU FF, all residual.
+
+    AID applies to BOTH attn1 and attn2 — reference load_aid replaces every
+    UNet processor (pipeline_interpolated_sd.py:953-970).
+    """
+
+    num_heads: int
+    head_dim: int
+    dim: int
+    has_ip: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dim, has_ip=False,
+                               dtype=self.dtype, name="attn1")(h, None, aid)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        x = x + CrossAttention(self.num_heads, self.head_dim, self.dim, has_ip=self.has_ip,
+                               dtype=self.dtype, name="attn2")(h, encoder_hidden, aid)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """diffusers Transformer2DModel: GN -> proj_in -> blocks -> proj_out + residual."""
+
+    num_heads: int
+    head_dim: int
+    num_layers: int
+    norm_num_groups: int = 32
+    use_linear_projection: bool = False
+    has_ip: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):
+        b, h, w, c = x.shape
+        inner = self.num_heads * self.head_dim
+        residual = x
+        x = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.use_linear_projection:
+            x = x.reshape(b, h * w, c)
+            x = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+        else:
+            x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+            x = x.reshape(b, h * w, inner)
+        for i in range(self.num_layers):
+            x = BasicTransformerBlock(
+                self.num_heads, self.head_dim, inner, has_ip=self.has_ip,
+                dtype=self.dtype, name=f"transformer_blocks_{i}",
+            )(x, encoder_hidden, aid)
+        if self.use_linear_projection:
+            x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, inner)
+            x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        return x + residual

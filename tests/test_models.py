@@ -1,0 +1,130 @@
+"""Shape/jit smoke tests for the model zoo on tiny configs (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aid_tpu.models import (
+    AidContext,
+    AidMode,
+    AutoencoderKL,
+    CLIPTextModel,
+    CLIPVisionModel,
+    UNet2DCondition,
+    configs,
+)
+
+
+@pytest.fixture(scope="module")
+def rngs():
+    return jax.random.PRNGKey(0)
+
+
+class TestUNet:
+    def test_sd_shape_and_aid(self, rngs):
+        cfg = configs.TINY_UNET
+        model = UNet2DCondition(cfg)
+        B, H = 3, cfg.sample_size
+        sample = jnp.zeros((B, H, H, cfg.in_channels))
+        t = jnp.array(10)
+        ehs = jnp.zeros((B, 7, cfg.cross_attention_dim))
+        params = model.init(rngs, sample, t, ehs)
+        out = model.apply(params, sample, t, ehs)
+        assert out.shape == (B, H, H, cfg.out_channels)
+
+        aid = AidContext(coef=jnp.array([0.0, 0.5, 1.0]), mode=AidMode.from_name("fused_outer"))
+        out_aid = model.apply(params, sample, t, ehs, aid)
+        assert out_aid.shape == out.shape
+
+    def test_aid_endpoint_frames_match_vanilla(self, rngs):
+        """Frames 0 and B-1 with coef 0/1 under fused_outer must equal the
+        vanilla forward for those frames (endpoints are fixed points)."""
+        cfg = configs.TINY_UNET
+        model = UNet2DCondition(cfg)
+        B, H = 3, cfg.sample_size
+        sample = jax.random.normal(jax.random.PRNGKey(1), (B, H, H, cfg.in_channels))
+        t = jnp.array(5)
+        ehs = jax.random.normal(jax.random.PRNGKey(2), (B, 7, cfg.cross_attention_dim))
+        params = model.init(rngs, sample, t, ehs)
+
+        vanilla = model.apply(params, sample, t, ehs)
+        aid = AidContext(coef=jnp.array([0.0, 0.5, 1.0]), mode=AidMode.from_name("fused_outer"))
+        out = model.apply(params, sample, t, ehs, aid)
+        # NOTE: endpoint frames attend to [own; own] K/V — identical softmax
+        # distribution, so identical output.
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(vanilla[0]), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[2]), np.asarray(vanilla[2]), rtol=1e-4, atol=1e-4)
+        # middle frame must differ
+        assert np.abs(np.asarray(out[1] - vanilla[1])).max() > 1e-4
+
+    def test_sdxl_added_cond(self, rngs):
+        cfg = configs.TINY_SDXL_UNET
+        model = UNet2DCondition(cfg)
+        B, H = 3, cfg.sample_size
+        sample = jnp.zeros((B, H, H, cfg.in_channels))
+        ehs = jnp.zeros((B, 7, cfg.cross_attention_dim))
+        added = {"text_embeds": jnp.zeros((B, 24)), "time_ids": jnp.zeros((B, 6))}
+        params = model.init(rngs, sample, jnp.array(10), ehs, None, added)
+        out = model.apply(params, sample, jnp.array(10), ehs, None, added)
+        assert out.shape == (B, H, H, cfg.out_channels)
+
+    def test_ip_adapter_branch(self, rngs):
+        cfg = configs.TINY_UNET_IP
+        model = UNet2DCondition(cfg)
+        B, H = 3, cfg.sample_size
+        sample = jnp.zeros((B, H, H, cfg.in_channels))
+        ehs = jnp.zeros((B, 7, cfg.cross_attention_dim))
+        ip = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.ip_num_tokens, cfg.cross_attention_dim))
+        aid = AidContext(
+            coef=jnp.array([0.0, 0.5, 1.0]),
+            mode=AidMode.from_name("fused_outer", has_ip=True),
+            ip_hidden_states=ip,
+            ip_scale=0.6,
+        )
+        params = model.init(rngs, sample, jnp.array(1), ehs, aid)
+        out = model.apply(params, sample, jnp.array(1), ehs, aid)
+        # zero IP scale must reproduce the no-IP output
+        aid0 = AidContext(coef=aid.coef, mode=aid.mode, ip_hidden_states=ip, ip_scale=0.0)
+        out0 = model.apply(params, sample, jnp.array(1), ehs, aid0)
+        aid_none = AidContext(coef=aid.coef, mode=AidMode.from_name("fused_outer", has_ip=False))
+        out_none = model.apply(params, sample, jnp.array(1), ehs, aid_none)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(out_none), rtol=1e-5, atol=1e-5)
+        assert np.abs(np.asarray(out - out_none)).max() > 1e-5
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self, rngs):
+        cfg = configs.TINY_VAE
+        model = AutoencoderKL(cfg)
+        x = jnp.zeros((2, 16, 16, 3))
+        params = model.init(rngs, x)
+        f = 2 ** (len(cfg.block_out_channels) - 1)
+        z = model.apply(params, x, method=AutoencoderKL.encode)
+        assert z.shape == (2, 16 // f, 16 // f, cfg.latent_channels)
+        img = model.apply(params, z, method=AutoencoderKL.decode)
+        assert img.shape == (2, 16, 16, 3)
+
+
+class TestCLIP:
+    def test_text_shapes_and_clip_skip(self, rngs):
+        cfg = configs.TINY_CLIP_TEXT
+        model = CLIPTextModel(cfg)
+        ids = jnp.array([[1, 5, 8, 900, 0, 0, 0]])
+        params = model.init(rngs, ids)
+        out, pooled, hs = model.apply(params, ids)
+        assert out.shape == (1, 7, cfg.hidden_size)
+        assert pooled.shape == (1, cfg.hidden_size)
+        assert len(hs) == cfg.num_hidden_layers + 1
+        out_skip, _, _ = model.apply(params, ids, clip_skip=1)
+        assert np.abs(np.asarray(out - out_skip)).max() > 1e-6
+
+    def test_vision_shapes(self, rngs):
+        cfg = configs.TINY_CLIP_VISION
+        model = CLIPVisionModel(cfg)
+        px = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+        params = model.init(rngs, px)
+        embeds, penult = model.apply(params, px)
+        assert embeds.shape == (2, cfg.projection_dim)
+        n_patches = (cfg.image_size // cfg.patch_size) ** 2 + 1
+        assert penult.shape == (2, n_patches, cfg.hidden_size)
