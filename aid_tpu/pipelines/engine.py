@@ -1,0 +1,200 @@
+"""The jitted denoising engine shared by all interpolation pipelines.
+
+TPU-first redesign of the reference denoise loops
+(pipeline_interpolated_sd.py:1833-1931, gradio_src/
+pipeline_interpolated_stable_diffusion.py:271-296):
+
+  * The reference host loop mutates attention-processor state every step
+    (activate_aid/deactivate_aid) and runs two sequential UNet forwards per
+    step. Here the warmup cutoff is a STATIC loop split — two
+    lax.fori_loops, one traced with the early AID mode and one with the
+    late mode — so there is zero host interaction inside a sequence
+    generation, and each phase compiles exactly once.
+  * CFG structure matches the reference exactly: conditional forward with
+    AID active, then unconditional forward with AID deactivated
+    (sd:1859-1889) — both inside the same program.
+  * All N frames of a sequence are one batch (the gradio interpolate()
+    full-sequence mode, :212-296, made primary), with the per-frame Beta
+    coefficient vector as a traced input.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from aid_tpu.models.layers import AidContext, AidMode
+
+
+def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray, guidance_rescale: float) -> jnp.ndarray:
+    """Rescale per 'Common Diffusion Noise Schedules are Flawed' §3.4
+    (reference pipeline_interpolated_sd.py:92-107)."""
+    axes = tuple(range(1, noise_pred_text.ndim))
+    std_text = jnp.std(noise_pred_text, axis=axes, keepdims=True)
+    std_cfg = jnp.std(noise_cfg, axis=axes, keepdims=True)
+    rescaled = noise_cfg * (std_text / std_cfg)
+    return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "unet",
+        "scheduler",
+        "early",
+        "late",
+        "num_steps",
+        "warmup_steps",
+        "guidance_rescale",
+        "eta",
+    ),
+    donate_argnames=("latents",),
+)
+def denoise_sequence(
+    unet,
+    scheduler,
+    params,
+    latents: jnp.ndarray,  # (B, h, w, C) NHWC
+    embs: jnp.ndarray,  # (B, S, D) conditional text embeds
+    uncond_embs: jnp.ndarray,  # (B, S, D)
+    coef: jnp.ndarray,  # (B,) per-frame interpolation coefficients
+    sched_state,
+    guidance_scale: jnp.ndarray,
+    *,
+    early: AidMode,
+    late: AidMode,
+    num_steps: int,
+    warmup_steps: int,
+    guidance_rescale: float = 0.0,
+    eta: float = 0.0,
+    ip_embeds: Optional[jnp.ndarray] = None,  # (B, T, D) projected cond IP tokens
+    ip_uncond_embeds: Optional[jnp.ndarray] = None,
+    ip_scale: float = 1.0,
+    added_cond: Optional[dict] = None,  # SDXL cond dict
+    noise_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Run the full warmup-split CFG denoise loop; returns final latents."""
+
+    uncond_mode = AidMode(
+        text=AidMode.vanilla().text,
+        ip=early.ip if early.ip is not None else None,
+        ip_coef_scaled=early.ip_coef_scaled,
+    )
+    # Reference semantics for the uncond pass: AID fully deactivated
+    # (sd:1870). For IP pipelines the deactivated processor still applies the
+    # per-frame/own IP branch with the NEGATIVE image embeds (sd:1878).
+    if uncond_mode.ip is not None:
+        uncond_mode = AidMode(text=AidMode.vanilla().text, ip="own", ip_coef_scaled=early.ip_coef_scaled)
+
+    def make_aid(mode: AidMode, ip_states) -> Optional[AidContext]:
+        if mode.text == AidMode.vanilla().text and mode.ip is None:
+            return None
+        return AidContext(coef=coef, mode=mode, ip_hidden_states=ip_states, ip_scale=ip_scale)
+
+    def step_fn(i, carry, mode: AidMode):
+        latents, state = carry
+        t = state.timesteps[i]
+        latent_in = scheduler.scale_model_input(state, latents, i)
+
+        noise_text = unet.apply(
+            params, latent_in, t, embs,
+            make_aid(mode, ip_embeds), added_cond,
+        )
+        noise_uncond = unet.apply(
+            params, latent_in, t, uncond_embs,
+            make_aid(uncond_mode, ip_uncond_embeds), added_cond,
+        )
+        noise = noise_uncond + guidance_scale * (noise_text - noise_uncond)
+        if guidance_rescale > 0.0:
+            noise = rescale_noise_cfg(noise, noise_text, guidance_rescale)
+        rng_i = jax.random.fold_in(noise_rng, i) if noise_rng is not None else None
+        latents, state = scheduler.step(state, noise, i, latents, eta=eta, noise_rng=rng_i)
+        return latents, state
+
+    carry = (latents, sched_state)
+    if warmup_steps > 0:
+        carry = jax.lax.fori_loop(
+            0, warmup_steps, lambda i, c: step_fn(i, c, early), carry
+        )
+    if warmup_steps < num_steps:
+        carry = jax.lax.fori_loop(
+            warmup_steps, num_steps, lambda i, c: step_fn(i, c, late), carry
+        )
+    return carry[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet", "scheduler", "start", "end", "eta"),
+    donate_argnames=("latents",),
+)
+def denoise_range(
+    unet,
+    scheduler,
+    params,
+    latents: jnp.ndarray,
+    embs: jnp.ndarray,
+    uncond_embs: jnp.ndarray,
+    sched_state,
+    guidance_scale: jnp.ndarray,
+    *,
+    start: int,
+    end: int,
+    eta: float = 0.0,
+):
+    """Vanilla-attention CFG denoising over step range [start, end).
+
+    Composition primitive for the denoising-interpolation baseline
+    (reference gradio_src/pipeline_interpolated_stable_diffusion.py:523-583,
+    which switches conditioning embeddings at a step ratio with no AID).
+    Returns (latents, sched_state) so multistep schedulers compose.
+    """
+
+    def body(i, carry):
+        latents, state = carry
+        t = state.timesteps[i]
+        latent_in = scheduler.scale_model_input(state, latents, i)
+        noise_text = unet.apply(params, latent_in, t, embs)
+        noise_uncond = unet.apply(params, latent_in, t, uncond_embs)
+        noise = noise_uncond + guidance_scale * (noise_text - noise_uncond)
+        latents, state = scheduler.step(state, noise, i, latents, eta=eta)
+        return latents, state
+
+    return jax.lax.fori_loop(start, end, body, (latents, sched_state))
+
+
+@functools.partial(jax.jit, static_argnames=("vae", "per_frame"))
+def decode_latents(vae, vae_params, latents: jnp.ndarray, scaling_factor: float,
+                   latents_mean=None, latents_std=None, per_frame: bool = False) -> jnp.ndarray:
+    """VAE decode -> float images in [0, 1], NHWC.
+
+    ``per_frame`` decodes one frame at a time via lax.map to cap peak memory
+    (reference SDXL decodes frame-by-frame, pipeline_interpolated_sdxl.py:2387-2390).
+    ``latents_mean/std`` implement playground-style denormalization
+    (pipeline_interpolated_sdxl.py:2359-2385).
+    """
+    z = latents.astype(jnp.float32)
+    if latents_mean is not None:
+        mean = jnp.asarray(latents_mean, jnp.float32).reshape(1, 1, 1, -1)
+        std = jnp.asarray(latents_std, jnp.float32).reshape(1, 1, 1, -1)
+        z = z * std / scaling_factor + mean
+    else:
+        z = z / scaling_factor
+
+    from aid_tpu.models.vae import AutoencoderKL  # local import to avoid cycle
+
+    def dec(zi):
+        return vae.apply(vae_params, zi, method=AutoencoderKL.decode)
+
+    image = jax.lax.map(lambda zi: dec(zi[None])[0], z) if per_frame else dec(z)
+    return jnp.clip(image.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+def to_uint8(images: jnp.ndarray):
+    """[0,1] float NHWC -> host uint8 numpy (N,H,W,3)."""
+    import numpy as np
+
+    return np.asarray(jnp.round(images * 255.0).astype(jnp.uint8))

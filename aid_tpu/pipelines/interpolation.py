@@ -1,0 +1,422 @@
+"""Interpolation pipelines: the reference's public API, TPU-native.
+
+API parity targets:
+  * gradio_src/pipeline_interpolated_stable_diffusion.py:163-304
+    ``interpolate``        — full-sequence batched generation (PRIMARY here:
+                             all N frames + warmup split in one program)
+  * :306-392  ``interpolate_save_gpu``  — frame-at-a-time stitching
+  * :394-521  ``interpolate_single``    — 3-frame [A, interp, B]
+  * :523-583  ``denoising_interpolate`` — embedding-switch baseline
+  * :92-119   ``generate_latent``, :121-160 ``prompt_to_embedding``
+  * pipeline_interpolated_sd.py:950-1020 ``load_aid`` / ``load_aid_ip_adapter``
+    / ``activate_aid`` / ``deactivate_aid`` (state -> explicit arguments)
+  * pipeline_interpolated_sd.py:1407-1963 ``interpolate_single`` kwargs
+    (guide_prompt PAID, warmup_ratio, init linear/slerp, IP image embeds)
+
+Layout: latents and images are NHWC on device (TPU conv layout). The
+float32 CFG/scheduler math happens inside the jitted engine; the UNet
+compute dtype is configurable (bf16 recommended on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aid_tpu.models.layers import AidMode
+from aid_tpu.ops.interp import (
+    generate_beta_schedule,
+    lerp,
+    linear_interpolation,
+    slerp,
+    spherical_interpolation,
+)
+from aid_tpu.pipelines import engine
+from aid_tpu.schedulers.ddim import DDIMScheduler
+
+
+@dataclasses.dataclass
+class InterpolationPipeline:
+    """SD 1.x / 2.x attention-interpolation pipeline.
+
+    Parameters are explicit pytrees; modules are flax modules. ``tokenizer``
+    is any callable ``prompt -> (1, max_len) int32 ids``.
+    """
+
+    unet: Any
+    unet_params: Any
+    vae: Any
+    vae_params: Any
+    text_encoder: Any
+    text_params: Any
+    tokenizer: Any
+    scheduler: Any = dataclasses.field(default_factory=DDIMScheduler)
+    vae_scale_factor: int = 8
+    guidance_scale: float = 7.5
+    # Default AID config (reference load_aid defaults: t=0.5, fused outer,
+    # pipeline_interpolated_sd.py:950-951).
+    default_early: str = "fused_outer"
+    default_late: str = "self"
+    # IP-Adapter attachments (None until load_aid_ip_adapter equivalent).
+    ip_proj: Any = None
+    ip_proj_params: Any = None
+    ip_scale: float = 1.0
+    scale_control: bool = False
+
+    # ------------------------------------------------------------------
+    # plumbing
+    # ------------------------------------------------------------------
+    @property
+    def has_ip(self) -> bool:
+        return self.ip_proj is not None
+
+    @property
+    def latent_channels(self) -> int:
+        return self.unet.config.in_channels
+
+    def _latent_hw(self, height: Optional[int], width: Optional[int]):
+        size = self.unet.config.sample_size
+        h = (height // self.vae_scale_factor) if height else size
+        w = (width // self.vae_scale_factor) if width else size
+        return h, w
+
+    def generate_latent(self, seed: int = 0, height: Optional[int] = None, width: Optional[int] = None) -> jnp.ndarray:
+        """Random (1, h, w, C) latent (reference generate_latent, gradio :92-119)."""
+        h, w = self._latent_hw(height, width)
+        return jax.random.normal(jax.random.PRNGKey(seed), (1, h, w, self.latent_channels), jnp.float32)
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = "", clip_skip: int = 0):
+        """Prompt -> (cond, uncond) embeddings, each (1, S, D).
+
+        Reference prompt_to_embedding (gradio :121-160) / encode_prompt
+        (pipeline_interpolated_sd.py:472-660).
+        """
+        ids = jnp.asarray(self.tokenizer(prompt))
+        neg_ids = jnp.asarray(self.tokenizer(negative_prompt))
+        emb, _, _ = self.text_encoder.apply(self.text_params, ids, clip_skip=clip_skip)
+        neg, _, _ = self.text_encoder.apply(self.text_params, neg_ids, clip_skip=clip_skip)
+        return emb, neg
+
+    def _interp_pair(self, a, b, t, init: str):
+        return lerp(a, b, t) if init == "linear" else slerp(a, b, t)
+
+    def _decode(self, latents: jnp.ndarray, per_frame: bool = False) -> np.ndarray:
+        cfg = self.vae.config
+        images = engine.decode_latents(
+            self.vae, self.vae_params, latents, cfg.scaling_factor,
+            latents_mean=cfg.latents_mean, latents_std=cfg.latents_std,
+            per_frame=per_frame,
+        )
+        return engine.to_uint8(images)
+
+    def _project_ip(self, image_embeds: Optional[jnp.ndarray]):
+        """CLIP image embeds (B, D) -> IP tokens (B, T, cross_dim)."""
+        if image_embeds is None:
+            return None
+        return self.ip_proj.apply(self.ip_proj_params, image_embeds)
+
+    def _aid_modes(self, early: str, late: str):
+        early_mode = AidMode.from_name(early, has_ip=self.has_ip)
+        late_mode = AidMode.from_name(late, has_ip=self.has_ip)
+        if self.scale_control:
+            early_mode = AidMode.from_name("scale_control")
+            late_mode = AidMode.vanilla(scale_control=True)
+        return early_mode, late_mode
+
+    # ------------------------------------------------------------------
+    # core generation
+    # ------------------------------------------------------------------
+    def _run_sequence(
+        self,
+        latents: jnp.ndarray,  # (B, h, w, C)
+        embs: jnp.ndarray,
+        uncond_embs: jnp.ndarray,
+        coef: jnp.ndarray,
+        num_inference_steps: int,
+        warmup_ratio: float,
+        early: str,
+        late: str,
+        guidance_scale: Optional[float],
+        guidance_rescale: float = 0.0,
+        ip_image_embeds: Optional[jnp.ndarray] = None,
+        ip_uncond_image_embeds: Optional[jnp.ndarray] = None,
+        added_cond: Optional[dict] = None,
+        output_type: str = "np",
+        per_frame_decode: bool = False,
+    ):
+        if guidance_scale is None:
+            guidance_scale = self.guidance_scale
+        sched_state = self.scheduler.init(num_inference_steps)
+        latents = latents * sched_state.init_noise_sigma
+        warmup_steps = int(num_inference_steps * warmup_ratio)
+        early_mode, late_mode = self._aid_modes(early, late)
+
+        final = engine.denoise_sequence(
+            self.unet,
+            self.scheduler,
+            self.unet_params,
+            latents,
+            embs,
+            uncond_embs,
+            coef,
+            sched_state,
+            jnp.float32(guidance_scale),
+            early=early_mode,
+            late=late_mode,
+            num_steps=num_inference_steps,
+            warmup_steps=warmup_steps,
+            guidance_rescale=guidance_rescale,
+            ip_embeds=self._project_ip(ip_image_embeds),
+            ip_uncond_embeds=self._project_ip(ip_uncond_image_embeds),
+            ip_scale=self.ip_scale,
+            added_cond=added_cond,
+        )
+        if output_type == "latent":
+            return final
+        return self._decode(final, per_frame=per_frame_decode)
+
+    def interpolate(
+        self,
+        latent_start: jnp.ndarray,
+        latent_end: jnp.ndarray,
+        prompt_start: str,
+        prompt_end: str,
+        guide_prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        size: int = 7,
+        num_inference_steps: int = 25,
+        warmup_ratio: float = 0.5,
+        early: str = "fused_outer",
+        late: str = "self",
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        guidance_scale: Optional[float] = None,
+        output_type: str = "np",
+    ):
+        """Full-sequence batched interpolation — one device program.
+
+        Reference gradio interpolate (:163-304): latents slerp at UNIFORM
+        spacing, text embeds lerp at UNIFORM spacing (or guide-prompt
+        broadcast for PAID), while the per-frame attention coefficients
+        follow the Beta(alpha, beta) PPF schedule (alpha/beta default to
+        num_inference_steps, :203-206).
+        """
+        if alpha is None:
+            alpha = float(num_inference_steps)
+        if beta is None:
+            beta = float(num_inference_steps)
+
+        latents = spherical_interpolation(latent_start, latent_end, size)
+        emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
+        emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
+        if guide_prompt is not None:
+            emb_g, un_g = self.encode_prompt(guide_prompt, negative_prompt)
+            embs = jnp.concatenate([emb_s] + [emb_g] * (size - 2) + [emb_e], axis=0)
+            uncond = jnp.concatenate([un_s] + [un_g] * (size - 2) + [un_e], axis=0)
+        else:
+            embs = linear_interpolation(emb_s, emb_e, size=size)
+            uncond = linear_interpolation(un_s, un_e, size=size)
+
+        coef = jnp.asarray(generate_beta_schedule(size, alpha, beta, force_endpoints=True))
+        return self._run_sequence(
+            latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
+            early, late, guidance_scale, output_type=output_type,
+        )
+
+    def interpolate_single(
+        self,
+        it: float,
+        latent_start: Optional[jnp.ndarray] = None,
+        latent_end: Optional[jnp.ndarray] = None,
+        prompt_start: str = "",
+        prompt_end: str = "",
+        guide_prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        num_inference_steps: int = 25,
+        warmup_ratio: float = 0.5,
+        early: str = "fused_outer",
+        late: str = "self",
+        init: str = "linear",
+        guidance_scale: Optional[float] = None,
+        guidance_rescale: float = 0.0,
+        image_embeds_start: Optional[jnp.ndarray] = None,
+        image_embeds_end: Optional[jnp.ndarray] = None,
+        negative_image_embeds: Optional[jnp.ndarray] = None,
+        seed: int = 0,
+        output_type: str = "np",
+    ):
+        """3-frame [source A, interpolated, source B] generation.
+
+        Reference interpolate_single (pipeline_interpolated_sd.py:1407-1963,
+        gradio :394-521): latent_target = slerp(start, end, it); target text
+        embeds = guide prompt (PAID) or lerp/slerp by ``init``; coef vector
+        [0, it, 1]; warmup split early/late.
+
+        IP-Adapter: ``image_embeds_start/end`` are CLIP image embeds
+        (reference prepare_ip_adapter_image_embeds + lerp/slerp,
+        sd:1762-1814). Scale-control (image_end only) passes
+        ``image_embeds_start=None`` with ``negative_image_embeds`` as the
+        start endpoint (sd:1772-1774).
+        """
+        assert 0.0 < it < 1.0, "t must be between 0 and 1"
+        if latent_start is None:
+            latent_start = self.generate_latent(seed)
+        if latent_end is None:
+            latent_end = self.generate_latent(seed + 1)
+
+        latent_t = slerp(latent_start, latent_end, it)
+        latents = jnp.concatenate([latent_start, latent_t, latent_end], axis=0)
+
+        emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
+        emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
+        if guide_prompt is not None:
+            emb_t, _ = self.encode_prompt(guide_prompt, negative_prompt)
+        else:
+            emb_t = self._interp_pair(emb_s, emb_e, it, init)
+        un_t = self._interp_pair(un_s, un_e, it, init)
+        embs = jnp.concatenate([emb_s, emb_t, emb_e], axis=0)
+        uncond = jnp.concatenate([un_s, un_t, un_e], axis=0)
+
+        ip_cond = ip_uncond = None
+        if image_embeds_end is not None:
+            if image_embeds_start is None:
+                # scale-control: start endpoint is the negative embed (sd:1772-1774)
+                image_embeds_start = negative_image_embeds
+            ip_t = self._interp_pair(image_embeds_start, image_embeds_end, it, init)
+            ip_cond = jnp.concatenate([image_embeds_start, ip_t, image_embeds_end], axis=0)
+            if negative_image_embeds is None:
+                negative_image_embeds = jnp.zeros_like(image_embeds_end)
+            ip_uncond = jnp.concatenate([negative_image_embeds] * 3, axis=0)
+
+        coef = jnp.array([0.0, it, 1.0], jnp.float32)
+        return self._run_sequence(
+            latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
+            early, late, guidance_scale, guidance_rescale,
+            ip_image_embeds=ip_cond, ip_uncond_image_embeds=ip_uncond,
+            output_type=output_type,
+        )
+
+    def interpolate_save_gpu(
+        self,
+        latent_start: jnp.ndarray,
+        latent_end: jnp.ndarray,
+        prompt_start: str,
+        prompt_end: str,
+        guide_prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        size: int = 7,
+        num_inference_steps: int = 25,
+        warmup_ratio: float = 0.5,
+        early: str = "fused_outer",
+        late: str = "self",
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        init: str = "linear",
+        guidance_scale: Optional[float] = None,
+    ) -> np.ndarray:
+        """Frame-at-a-time stitched generation (reference gradio :306-392).
+
+        Memory-light compatibility mode: (size-2) 3-frame runs at Beta-PPF
+        points, stitched [first 2] + middles + [last]. ``init='denoising'``
+        routes to the denoising-interpolation baseline.
+        """
+        if alpha is None:
+            alpha = float(num_inference_steps)
+        if beta is None:
+            beta = float(num_inference_steps)
+        betas = generate_beta_schedule(size, alpha, beta, force_endpoints=True)
+        final = None
+        for i in range(size - 2):
+            it = float(betas[i + 1])
+            if init == "denoising":
+                images = self.denoising_interpolate(
+                    latent_start, prompt_start, prompt_end, negative_prompt,
+                    interpolated_ratio=it, timesteps=num_inference_steps,
+                )
+            else:
+                images = self.interpolate_single(
+                    it, latent_start, latent_end, prompt_start, prompt_end,
+                    guide_prompt=guide_prompt, negative_prompt=negative_prompt,
+                    num_inference_steps=num_inference_steps,
+                    warmup_ratio=warmup_ratio, early=early, late=late,
+                    init=init, guidance_scale=guidance_scale,
+                )
+            if size == 3:
+                return images
+            if i == 0:
+                final = images[:2]
+            elif i == size - 3:
+                final = np.concatenate([final, images[1:]], axis=0)
+            else:
+                final = np.concatenate([final, images[1:2]], axis=0)
+        return final
+
+    def denoising_interpolate(
+        self,
+        latents: jnp.ndarray,
+        text_1: str,
+        text_2: str,
+        negative_prompt: str = "",
+        interpolated_ratio: float = 1.0,
+        timesteps: int = 25,
+        guidance_scale: Optional[float] = None,
+    ) -> np.ndarray:
+        """Baseline: switch conditioning text at a step ratio, no AID
+        (reference gradio :523-583)."""
+        if guidance_scale is None:
+            guidance_scale = self.guidance_scale
+        emb1, _ = self.encode_prompt(text_1)
+        emb2, _ = self.encode_prompt(text_2)
+        uncond, _ = self.encode_prompt(negative_prompt)
+        n = latents.shape[0]
+        emb1, emb2, uncond = (jnp.repeat(e, n, axis=0) for e in (emb1, emb2, uncond))
+
+        state = self.scheduler.init(timesteps)
+        latents = latents * state.init_noise_sigma
+        switch = int(timesteps * interpolated_ratio)
+        g = jnp.float32(guidance_scale)
+        latents, state = engine.denoise_range(
+            self.unet, self.scheduler, self.unet_params, latents, emb1, uncond,
+            state, g, start=0, end=switch,
+        )
+        latents, state = engine.denoise_range(
+            self.unet, self.scheduler, self.unet_params, latents, emb2, uncond,
+            state, g, start=switch, end=timesteps,
+        )
+        return self._decode(latents)
+
+    def __call__(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: Optional[float] = None,
+        seed: int = 0,
+        latents: Optional[jnp.ndarray] = None,
+        output_type: str = "np",
+    ):
+        """Plain text-to-image (reference __call__, sd:1055-1403). Unlike the
+        reference — which leaves freshly-loaded AID processors active in
+        __call__ (a quirk; SURVEY.md §2.2) — plain generation here is always
+        vanilla attention."""
+        if guidance_scale is None:
+            guidance_scale = self.guidance_scale
+        if latents is None:
+            latents = self.generate_latent(seed, height, width)
+        emb, uncond = self.encode_prompt(prompt, negative_prompt)
+        state = self.scheduler.init(num_inference_steps)
+        latents = latents * state.init_noise_sigma
+        final, _ = engine.denoise_range(
+            self.unet, self.scheduler, self.unet_params, latents,
+            emb, uncond, state, jnp.float32(guidance_scale),
+            start=0, end=num_inference_steps,
+        )
+        if output_type == "latent":
+            return final
+        return self._decode(final)

@@ -1,0 +1,122 @@
+"""Tokenizers. A pipeline tokenizer is any callable ``str -> (1, L) int ids``.
+
+``CLIPBPETokenizer`` loads a standard CLIP vocab.json + merges.txt (the
+files shipped with every SD checkpoint the reference supports,
+reference README.md:175-184) — no network access needed.
+``HashTokenizer`` is a deterministic offline fallback for tests and
+random-weight benchmarking.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import html
+import json
+import os
+from typing import List
+
+import numpy as np
+
+
+class HashTokenizer:
+    """Deterministic word-hash tokenizer (test/bench use only)."""
+
+    def __init__(self, vocab_size: int = 1000, max_length: int = 77):
+        self.vocab_size = vocab_size
+        self.max_length = max_length
+        self.bos_id = 1
+        self.eos_id = 2
+
+    def __call__(self, text: str) -> np.ndarray:
+        words = text.lower().split()
+        ids = [self.bos_id]
+        for w in words[: self.max_length - 2]:
+            ids.append(3 + (hash(w) % (self.vocab_size - 3)))
+        ids.append(self.eos_id)
+        ids += [self.eos_id] * (self.max_length - len(ids))
+        return np.asarray([ids], np.int32)
+
+
+def _bytes_to_unicode():
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class CLIPBPETokenizer:
+    """CLIP byte-pair tokenizer from local vocab.json + merges.txt."""
+
+    def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77):
+        with open(vocab_path) as f:
+            self.encoder = json.load(f)
+        with open(merges_path, encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        # first line is a version header in HF-format merges.txt
+        merges = [m for m in merges[1:] if m and len(m.split()) == 2]
+        self.bpe_ranks = {tuple(m.split()): i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self.max_length = max_length
+        self.bos_id = self.encoder["<|startoftext|>"]
+        self.eos_id = self.encoder["<|endoftext|>"]
+        self.cache = {}
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        while len(word) > 1:
+            pairs = set(zip(word[:-1], word[1:]))
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+        self.cache[token] = list(word)
+        return list(word)
+
+    def __call__(self, text: str) -> np.ndarray:
+        import re
+
+        text = html.unescape(html.unescape(text)).strip().lower()
+        pat = re.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+            if False
+            else r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+"
+        )
+        ids = [self.bos_id]
+        for tok in re.findall(pat, text):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            for sub in self._bpe(tok):
+                if sub in self.encoder:
+                    ids.append(self.encoder[sub])
+        ids = ids[: self.max_length - 1]
+        ids.append(self.eos_id)
+        ids += [self.eos_id] * (self.max_length - len(ids))
+        return np.asarray([ids], np.int32)
+
+
+def load_tokenizer(path: str, max_length: int = 77):
+    """Load a CLIP tokenizer from a checkpoint ``tokenizer/`` directory."""
+    return CLIPBPETokenizer(
+        os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"), max_length
+    )

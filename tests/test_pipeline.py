@@ -1,0 +1,117 @@
+"""Integration tests: tiny random-weight pipeline end-to-end under jit
+(SURVEY.md §4 'Integration')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_pipeline
+
+STEPS = 4
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_pipeline()
+
+
+class TestInterpolateSingle:
+    def test_shapes_and_determinism(self, pipe):
+        out1 = pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            num_inference_steps=STEPS, seed=3,
+        )
+        out2 = pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            num_inference_steps=STEPS, seed=3,
+        )
+        assert out1.shape == (3, 16, 16, 3) and out1.dtype == np.uint8
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_endpoints_independent_of_t(self, pipe):
+        """Frames 0/2 have coef 0/1 — changing t must only change frame 1
+        (endpoint fixed-point property of the whole pipeline)."""
+        kw = dict(prompt_start="a cat", prompt_end="a dog", num_inference_steps=STEPS, seed=3)
+        a = pipe.interpolate_single(0.3, **kw)
+        b = pipe.interpolate_single(0.7, **kw)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[2], b[2])
+        assert np.any(a[1] != b[1])
+
+    def test_guide_prompt_paid(self, pipe):
+        base = pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            num_inference_steps=STEPS, seed=3,
+        )
+        paid = pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            guide_prompt="an animal", num_inference_steps=STEPS, seed=3,
+        )
+        np.testing.assert_array_equal(base[0], paid[0])  # endpoints unchanged
+        assert np.any(base[1] != paid[1])
+
+    @pytest.mark.parametrize("early", ["fused_outer", "pure_outer", "fused_inner", "pure_inner"])
+    def test_all_modes_run(self, pipe, early):
+        out = pipe.interpolate_single(
+            0.5, prompt_start="x", prompt_end="y", early=early,
+            num_inference_steps=2, seed=0,
+        )
+        assert out.shape == (3, 16, 16, 3)
+
+    def test_warmup_ratio_zero_is_vanilla(self, pipe):
+        """warmup_ratio=0 means AID never activates; early mode is irrelevant."""
+        kw = dict(prompt_start="a cat", prompt_end="a dog", num_inference_steps=STEPS,
+                  seed=3, warmup_ratio=0.0)
+        a = pipe.interpolate_single(0.5, early="fused_outer", **kw)
+        b = pipe.interpolate_single(0.5, early="fused_inner", **kw)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestInterpolateSequence:
+    def test_full_sequence_shape(self, pipe):
+        l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
+        out = pipe.interpolate(
+            l0, l1, "a cat", "a dog", size=5, num_inference_steps=STEPS,
+        )
+        assert out.shape == (5, 16, 16, 3)
+
+    def test_sequence_endpoints_match_single(self, pipe):
+        """Endpoint frames of the batched sequence must match the 3-frame
+        path's endpoints (same coef 0/1, same latents, same embeds)."""
+        l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
+        seq = pipe.interpolate(l0, l1, "a cat", "a dog", size=5,
+                               num_inference_steps=STEPS, warmup_ratio=0.5)
+        single = pipe.interpolate_single(
+            0.5, l0, l1, "a cat", "a dog", num_inference_steps=STEPS,
+            warmup_ratio=0.5,
+        )
+        np.testing.assert_array_equal(seq[0], single[0])
+        np.testing.assert_array_equal(seq[-1], single[-1])
+
+    def test_guide_prompt_broadcast(self, pipe):
+        l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
+        out = pipe.interpolate(
+            l0, l1, "a cat", "a dog", guide_prompt="an animal",
+            size=4, num_inference_steps=2,
+        )
+        assert out.shape == (4, 16, 16, 3)
+
+    def test_interpolate_save_gpu_stitching(self, pipe):
+        l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
+        out = pipe.interpolate_save_gpu(
+            l0, l1, "a cat", "a dog", size=5, num_inference_steps=2,
+        )
+        assert out.shape == (5, 16, 16, 3)
+
+
+class TestBaselines:
+    def test_denoising_interpolate(self, pipe):
+        latents = pipe.generate_latent(7)
+        out = pipe.denoising_interpolate(
+            latents, "a cat", "a dog", interpolated_ratio=0.5, timesteps=STEPS,
+        )
+        assert out.shape == (1, 16, 16, 3)
+
+    def test_text2img(self, pipe):
+        out = pipe("a cat", num_inference_steps=STEPS, seed=11)
+        assert out.shape == (1, 16, 16, 3)
