@@ -208,9 +208,17 @@ class CrossAttention(nn.Module):
 
         # IP-Adapter branch: cross-attention layers only
         # (reference interpolation.py:328-367 outer, :186-196 scale control).
+        if self.has_ip and is_cross:
+            # Instantiate unconditionally so params exist regardless of
+            # whether init/apply passed IP states (flax creates lazily).
+            to_k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")
+            to_v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")
+            dummy = jnp.zeros((hidden.shape[0], 1, kv_src.shape[-1]), self.dtype)
+            probe = aid.ip_hidden_states if (aid is not None and aid.ip_hidden_states is not None) else dummy
+            _ = (to_k_ip(probe), to_v_ip(probe))
         if self.has_ip and is_cross and aid is not None and aid.mode.ip is not None and aid.ip_hidden_states is not None:
-            ip_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(aid.ip_hidden_states)
-            ip_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(aid.ip_hidden_states)
+            ip_k = to_k_ip(aid.ip_hidden_states)
+            ip_v = to_v_ip(aid.ip_hidden_states)
             ip_k, ip_v = heads(ip_k), heads(ip_v)
             ip_mode = AttnMode.SELF if aid.mode.ip == "own" else AttnMode(aid.mode.ip)
             ip_out = interpolated_attention(q, ip_k, ip_v, aid.coef, ip_mode)

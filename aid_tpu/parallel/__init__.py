@@ -1,0 +1,19 @@
+from aid_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    make_mesh,
+    frame_sharding,
+    replicated,
+    shard_params,
+    shard_frames,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "frame_sharding",
+    "replicated",
+    "shard_params",
+    "shard_frames",
+]

@@ -1,0 +1,93 @@
+"""Multi-chip sharding: frame-axis data parallelism + tensor parallelism.
+
+The reference is single-device (SURVEY.md §2.6: no torch.distributed
+anywhere). The TPU-native scaling design (SURVEY.md §5.8):
+
+  * ``data`` mesh axis: the frame/batch dimension. Each frame's denoise is
+    independent given the endpoint K/V; endpoint rows (0 and N-1) are
+    gathered across frame shards each attention call — XLA GSPMD inserts
+    the (tiny: 2 x L x D per layer) collectives from the batch-dim
+    sharding of ``k[0]`` / ``k[-1]`` in aid_tpu.ops.attention.
+  * ``model`` mesh axis: tensor parallelism over attention/MLP hidden units
+    (megatron-style column/row splits of to_q/k/v + to_out and ff layers).
+
+Sharding is expressed with jax.sharding.NamedSharding on the inputs; the
+jitted engine programs are partitioned by GSPMD. Works identically on a
+virtual CPU mesh (tests / driver dry run) and real ICI-connected chips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Create a (data, model) mesh. Default: all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = len(devices) // tp
+    assert dp * tp <= len(devices), f"need {dp * tp} devices, have {len(devices)}"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def frame_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (frame) axis over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path: tuple, leaf) -> P:
+    """Megatron-style TP layout for the UNet attention/MLP projections.
+
+    Column-parallel (shard output features): to_q/to_k/to_v/to_k_ip/to_v_ip
+    and the GEGLU up-projection. Row-parallel (shard input features):
+    to_out_0 and the FF down-projection — XLA inserts the psum.
+    Everything else (convs, norms, time embeddings) is replicated; convs are
+    batch-parallel over frames already.
+    """
+    names = [str(p) for p in path]
+    joined = "/".join(names)
+    if not names or names[-1] not in ("kernel",):
+        return P()
+    if any(n in joined for n in ("to_q", "to_k", "to_v", "to_k_ip", "to_v_ip", "net_0_proj")):
+        return P(None, MODEL_AXIS)
+    if any(n in joined for n in ("to_out_0", "net_2")):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter pytree on the mesh with the TP layout above."""
+    def place(path, leaf):
+        spec = _param_spec(tuple(k.key for k in path), leaf)
+        # guard: axis size must divide the sharded dim
+        tp = mesh.shape[MODEL_AXIS]
+        for axis_i, axis_name in enumerate(spec):
+            if axis_name == MODEL_AXIS and leaf.shape[axis_i] % tp != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_frames(tree, mesh: Mesh):
+    """Place activation arrays with the frame axis sharded over data."""
+    def place(leaf):
+        dp = mesh.shape[DATA_AXIS]
+        if leaf.ndim >= 1 and leaf.shape[0] % dp == 0:
+            return jax.device_put(leaf, frame_sharding(mesh, leaf.ndim))
+        return jax.device_put(leaf, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, tree)

@@ -150,7 +150,7 @@ class InterpolationPipeline:
     ):
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
-        sched_state = self.scheduler.init(num_inference_steps)
+        sched_state = self.scheduler.init(num_inference_steps, latent_shape=latents.shape)
         latents = latents * sched_state.init_noise_sigma
         warmup_steps = int(num_inference_steps * warmup_ratio)
         early_mode, late_mode = self._aid_modes(early, late)
@@ -375,7 +375,7 @@ class InterpolationPipeline:
         n = latents.shape[0]
         emb1, emb2, uncond = (jnp.repeat(e, n, axis=0) for e in (emb1, emb2, uncond))
 
-        state = self.scheduler.init(timesteps)
+        state = self.scheduler.init(timesteps, latent_shape=latents.shape)
         latents = latents * state.init_noise_sigma
         switch = int(timesteps * interpolated_ratio)
         g = jnp.float32(guidance_scale)
@@ -410,7 +410,7 @@ class InterpolationPipeline:
         if latents is None:
             latents = self.generate_latent(seed, height, width)
         emb, uncond = self.encode_prompt(prompt, negative_prompt)
-        state = self.scheduler.init(num_inference_steps)
+        state = self.scheduler.init(num_inference_steps, latent_shape=latents.shape)
         latents = latents * state.init_noise_sigma
         final, _ = engine.denoise_range(
             self.unet, self.scheduler, self.unet_params, latents,

@@ -1,0 +1,185 @@
+"""SDXL interpolation pipeline (dual text encoders, micro-conditioning).
+
+Parity target: InterpolationStableDiffusionXLPipeline
+(reference pipeline_interpolated_sdxl.py:291-2411):
+  * dual text encoders; embeds = concat(enc1 penultimate, enc2 penultimate),
+    pooled from encoder 2 (encode_prompt, sdxl:644-870)
+  * pooled prompt embeds interpolated per frame (sdxl:2020-2040)
+  * add_time_ids = (orig_h, orig_w, crop_top, crop_left, target_h, target_w)
+    repeated per frame (sdxl:992-1014, :2132-2133)
+  * fp32 VAE decode (upcast, sdxl:2347-2385) with optional playground
+    latents mean/std denorm — handled by engine.decode_latents
+  * frame-by-frame decode to cap VAE memory (sdxl:2387-2390)
+  * guidance default 5.0 (sdxl:1713)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from aid_tpu.ops.interp import (
+    generate_beta_schedule,
+    linear_interpolation,
+    slerp,
+    spherical_interpolation,
+)
+from aid_tpu.pipelines.interpolation import InterpolationPipeline
+
+
+@dataclasses.dataclass
+class InterpolationXLPipeline(InterpolationPipeline):
+    """text_encoder/tokenizer: OpenCLIP-bigG surrogate pair 2 is
+    ``text_encoder_2``/``tokenizer_2``; ``text_encoder`` is CLIP-L."""
+
+    text_encoder_2: Any = None
+    text_params_2: Any = None
+    tokenizer_2: Any = None
+    guidance_scale: float = 5.0
+    default_size: int = 1024
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = "", clip_skip: int = 0):
+        """Returns ((1,S,2048) embeds, uncond) and stashes pooled embeds in
+        self._last_pooled for the caller (SDXL pooled conditioning)."""
+        def enc(text):
+            ids1 = jnp.asarray(self.tokenizer(text))
+            ids2 = jnp.asarray(self.tokenizer_2(text))
+            # SDXL uses penultimate hidden states from both encoders
+            h1, _, hs1 = self.text_encoder.apply(self.text_params, ids1)
+            h2, pooled2, hs2 = self.text_encoder_2.apply(self.text_params_2, ids2)
+            emb = jnp.concatenate([hs1[-2], hs2[-2]], axis=-1)
+            return emb, pooled2
+
+        emb, pooled = enc(prompt)
+        neg, neg_pooled = enc(negative_prompt)
+        self._last_pooled = (pooled, neg_pooled)
+        return emb, neg
+
+    def _time_ids(self, batch: int, height: int, width: int) -> jnp.ndarray:
+        ids = jnp.array([height, width, 0, 0, height, width], jnp.float32)
+        return jnp.broadcast_to(ids[None], (batch, 6))
+
+    def interpolate(
+        self,
+        latent_start: jnp.ndarray,
+        latent_end: jnp.ndarray,
+        prompt_start: str,
+        prompt_end: str,
+        guide_prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        size: int = 7,
+        num_inference_steps: int = 28,
+        warmup_ratio: float = 0.5,
+        early: str = "fused_outer",
+        late: str = "self",
+        alpha: Optional[float] = None,
+        beta: Optional[float] = None,
+        guidance_scale: Optional[float] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        output_type: str = "np",
+    ):
+        if alpha is None:
+            alpha = float(num_inference_steps)
+        if beta is None:
+            beta = float(num_inference_steps)
+        height = height or self.default_size
+        width = width or self.default_size
+
+        latents = spherical_interpolation(latent_start, latent_end, size)
+        emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
+        pooled_s, neg_pooled = self._last_pooled
+        emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
+        pooled_e, _ = self._last_pooled
+
+        if guide_prompt is not None:
+            emb_g, un_g = self.encode_prompt(guide_prompt, negative_prompt)
+            pooled_g, _ = self._last_pooled
+            embs = jnp.concatenate([emb_s] + [emb_g] * (size - 2) + [emb_e], axis=0)
+            uncond = jnp.concatenate([un_s] + [un_g] * (size - 2) + [un_e], axis=0)
+            pooled = jnp.concatenate([pooled_s] + [pooled_g] * (size - 2) + [pooled_e], axis=0)
+        else:
+            embs = linear_interpolation(emb_s, emb_e, size=size)
+            uncond = linear_interpolation(un_s, un_e, size=size)
+            pooled = linear_interpolation(pooled_s, pooled_e, size=size)
+
+        coef = jnp.asarray(generate_beta_schedule(size, alpha, beta, force_endpoints=True))
+        added = {"text_embeds": pooled, "time_ids": self._time_ids(size, height, width)}
+        return self._run_sequence(
+            latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
+            early, late, guidance_scale, added_cond=added,
+            output_type=output_type, per_frame_decode=True,
+        )
+
+    def interpolate_single(
+        self,
+        it: float,
+        latent_start: Optional[jnp.ndarray] = None,
+        latent_end: Optional[jnp.ndarray] = None,
+        prompt_start: str = "",
+        prompt_end: str = "",
+        guide_prompt: Optional[str] = None,
+        negative_prompt: str = "",
+        num_inference_steps: int = 28,
+        warmup_ratio: float = 0.5,
+        early: str = "fused_outer",
+        late: str = "self",
+        init: str = "linear",
+        guidance_scale: Optional[float] = None,
+        guidance_rescale: float = 0.0,
+        image_embeds_start: Optional[jnp.ndarray] = None,
+        image_embeds_end: Optional[jnp.ndarray] = None,
+        negative_image_embeds: Optional[jnp.ndarray] = None,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        seed: int = 0,
+        output_type: str = "np",
+    ):
+        assert 0.0 < it < 1.0, "t must be between 0 and 1"
+        height = height or self.default_size
+        width = width or self.default_size
+        if latent_start is None:
+            latent_start = self.generate_latent(seed)
+        if latent_end is None:
+            latent_end = self.generate_latent(seed + 1)
+
+        latent_t = slerp(latent_start, latent_end, it)
+        latents = jnp.concatenate([latent_start, latent_t, latent_end], axis=0)
+
+        emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
+        pooled_s, neg_pooled = self._last_pooled
+        emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
+        pooled_e, _ = self._last_pooled
+        if guide_prompt is not None:
+            emb_t, _ = self.encode_prompt(guide_prompt, negative_prompt)
+            pooled_t, _ = self._last_pooled
+        else:
+            emb_t = self._interp_pair(emb_s, emb_e, it, init)
+            pooled_t = self._interp_pair(pooled_s, pooled_e, it, init)
+        un_t = self._interp_pair(un_s, un_e, it, init)
+
+        embs = jnp.concatenate([emb_s, emb_t, emb_e], axis=0)
+        uncond = jnp.concatenate([un_s, un_t, un_e], axis=0)
+        pooled = jnp.concatenate([pooled_s, pooled_t, pooled_e], axis=0)
+
+        ip_cond = ip_uncond = None
+        if image_embeds_end is not None:
+            if image_embeds_start is None:
+                image_embeds_start = negative_image_embeds
+            ip_t = self._interp_pair(image_embeds_start, image_embeds_end, it, init)
+            ip_cond = jnp.concatenate([image_embeds_start, ip_t, image_embeds_end], axis=0)
+            if negative_image_embeds is None:
+                negative_image_embeds = jnp.zeros_like(image_embeds_end)
+            ip_uncond = jnp.concatenate([negative_image_embeds] * 3, axis=0)
+
+        coef = jnp.array([0.0, it, 1.0], jnp.float32)
+        added = {"text_embeds": pooled, "time_ids": self._time_ids(3, height, width)}
+        return self._run_sequence(
+            latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
+            early, late, guidance_scale, guidance_rescale,
+            ip_image_embeds=ip_cond, ip_uncond_image_embeds=ip_uncond,
+            added_cond=added, output_type=output_type, per_frame_decode=True,
+        )

@@ -31,7 +31,7 @@ class DDIMState(NamedTuple):
 class DDIMScheduler:
     config: SchedulerConfig = SchedulerConfig()
 
-    def init(self, num_inference_steps: int) -> DDIMState:
+    def init(self, num_inference_steps: int, latent_shape=None) -> DDIMState:
         cfg = self.config
         betas = make_betas(cfg)
         alphas_cumprod = np.cumprod(1.0 - betas)

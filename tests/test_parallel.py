@@ -1,0 +1,94 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §4 'Multi-chip')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aid_tpu.models.layers import AidMode
+from aid_tpu.parallel import make_mesh, shard_frames, shard_params
+from aid_tpu.pipelines import engine
+from helpers import tiny_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return tiny_pipeline()
+
+
+def _sequence_inputs(pipe, size=8, steps=2):
+    l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
+    from aid_tpu.ops.interp import spherical_interpolation, linear_interpolation, generate_beta_schedule
+
+    latents = spherical_interpolation(l0, l1, size)
+    emb_s, un_s = pipe.encode_prompt("a cat")
+    emb_e, un_e = pipe.encode_prompt("a dog")
+    embs = linear_interpolation(emb_s, emb_e, size=size)
+    uncond = linear_interpolation(un_s, un_e, size=size)
+    coef = jnp.asarray(generate_beta_schedule(size, 3, 3, force_endpoints=True))
+    state = pipe.scheduler.init(steps)
+    return latents, embs, uncond, coef, state
+
+
+def _run(pipe, latents, embs, uncond, coef, state, steps=2):
+    return engine.denoise_sequence(
+        pipe.unet, pipe.scheduler, pipe.unet_params,
+        latents, embs, uncond, coef, state, jnp.float32(7.5),
+        early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+        num_steps=steps, warmup_steps=1,
+    )
+
+
+def test_dp_sharded_matches_single_device(pipe):
+    """Frame-sharded (dp=8) denoise must be numerically equal to unsharded."""
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    ref = np.asarray(_run(pipe, latents, embs, uncond, coef, state))
+
+    # denoise_sequence donates latents; regenerate inputs for the sharded run
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    mesh = make_mesh(dp=8, tp=1)
+    params = shard_params(pipe.unet_params, mesh)
+    latents_s, embs_s, uncond_s, coef_s = shard_frames((latents, embs, uncond, coef), mesh)
+    pipe2 = pipe
+    out = np.asarray(engine.denoise_sequence(
+        pipe2.unet, pipe2.scheduler, params,
+        latents_s, embs_s, uncond_s, coef_s, state, jnp.float32(7.5),
+        early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+        num_steps=2, warmup_steps=1,
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dp_tp_sharded_matches_single_device(pipe):
+    """dp=4 x tp=2 (real tensor-parallel attention/MLP splits) must match."""
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    ref = np.asarray(_run(pipe, latents, embs, uncond, coef, state))
+
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    mesh = make_mesh(dp=4, tp=2)
+    params = shard_params(pipe.unet_params, mesh)
+    latents_s, embs_s, uncond_s, coef_s = shard_frames((latents, embs, uncond, coef), mesh)
+    out = np.asarray(engine.denoise_sequence(
+        pipe.unet, pipe.scheduler, params,
+        latents_s, embs_s, uncond_s, coef_s, state, jnp.float32(7.5),
+        early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+        num_steps=2, warmup_steps=1,
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_param_layout(pipe):
+    mesh = make_mesh(dp=4, tp=2)
+    params = shard_params(pipe.unet_params, mesh)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    n_col = n_row = 0
+    for path, leaf in flat:
+        names = "/".join(str(k.key) for k in path)
+        spec = leaf.sharding.spec
+        if "to_q/kernel" in names and len(spec) and spec[-1] == "model":
+            n_col += 1
+        if "to_out_0/kernel" in names and len(spec) and spec[0] == "model":
+            n_row += 1
+    assert n_col > 0 and n_row > 0, "TP sharding specs not applied"

@@ -1,0 +1,140 @@
+"""SDXL pipeline + IP-Adapter pipeline integration tests."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aid_tpu.models import AutoencoderKL, CLIPTextModel, UNet2DCondition, configs
+from aid_tpu.models.ip_adapter import ImageProjection
+from aid_tpu.pipelines import InterpolationPipeline
+from aid_tpu.pipelines.sdxl import InterpolationXLPipeline
+from aid_tpu.schedulers.ddim import DDIMScheduler
+from aid_tpu.utils.tokenizer import HashTokenizer
+from helpers import tiny_pipeline
+
+TEXT2_CFG = dataclasses.replace(
+    configs.TINY_CLIP_TEXT, hidden_size=24, intermediate_size=48, projection_dim=24,
+)
+
+
+@pytest.fixture(scope="module")
+def xl_pipe():
+    unet_cfg = dataclasses.replace(
+        configs.TINY_SDXL_UNET,
+        cross_attention_dim=configs.TINY_CLIP_TEXT.hidden_size + TEXT2_CFG.hidden_size,
+    )
+    vae_cfg = configs.TINY_VAE
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    unet = UNet2DCondition(unet_cfg)
+    s = unet_cfg.sample_size
+    added = {"text_embeds": jnp.zeros((1, 24)), "time_ids": jnp.zeros((1, 6))}
+    unet_params = unet.init(
+        k1, jnp.zeros((1, s, s, 4)), jnp.array(0),
+        jnp.zeros((1, 77, unet_cfg.cross_attention_dim)), None, added,
+    )
+    vae = AutoencoderKL(vae_cfg)
+    vae_params = vae.init(k2, jnp.zeros((1, 16, 16, 3)))
+    text = CLIPTextModel(configs.TINY_CLIP_TEXT)
+    text_params = text.init(k3, jnp.zeros((1, 77), jnp.int32))
+    text2 = CLIPTextModel(TEXT2_CFG)
+    text2_params = text2.init(k4, jnp.zeros((1, 77), jnp.int32))
+
+    return InterpolationXLPipeline(
+        unet=unet, unet_params=unet_params, vae=vae, vae_params=vae_params,
+        text_encoder=text, text_params=text_params,
+        tokenizer=HashTokenizer(configs.TINY_CLIP_TEXT.vocab_size),
+        text_encoder_2=text2, text_params_2=text2_params,
+        tokenizer_2=HashTokenizer(TEXT2_CFG.vocab_size),
+        scheduler=DDIMScheduler(), vae_scale_factor=2, default_size=16,
+    )
+
+
+class TestSDXL:
+    def test_interpolate_single(self, xl_pipe):
+        out = xl_pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog", num_inference_steps=3,
+        )
+        assert out.shape == (3, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    def test_full_sequence_with_guide(self, xl_pipe):
+        l0, l1 = xl_pipe.generate_latent(0), xl_pipe.generate_latent(1)
+        out = xl_pipe.interpolate(
+            l0, l1, "a cat", "a dog", guide_prompt="an animal",
+            size=4, num_inference_steps=2,
+        )
+        assert out.shape == (4, 16, 16, 3)
+
+    def test_pooled_embeds_are_interpolated(self, xl_pipe):
+        """Changing t must change the mid frame (pooled path active), while
+        endpoints stay fixed."""
+        kw = dict(prompt_start="a cat", prompt_end="a dog", num_inference_steps=3)
+        a = xl_pipe.interpolate_single(0.25, **kw)
+        b = xl_pipe.interpolate_single(0.75, **kw)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[2], b[2])
+        assert np.any(a[1] != b[1])
+
+
+@pytest.fixture(scope="module")
+def ip_pipe():
+    unet_cfg = configs.TINY_UNET_IP
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    base = tiny_pipeline(unet_cfg=unet_cfg)
+    proj = ImageProjection(cross_attention_dim=unet_cfg.cross_attention_dim,
+                           num_tokens=unet_cfg.ip_num_tokens)
+    proj_params = proj.init(k2, jnp.zeros((1, unet_cfg.ip_hidden_dim)))
+    return dataclasses.replace(base, ip_proj=proj, ip_proj_params=proj_params, ip_scale=0.8)
+
+
+class TestIPAdapter:
+    def _embeds(self, dim=16):
+        k = jax.random.PRNGKey(5)
+        a, b = jax.random.split(k)
+        return (jax.random.normal(a, (1, dim)), jax.random.normal(b, (1, dim)))
+
+    def test_morphing(self, ip_pipe):
+        e0, e1 = self._embeds()
+        out = ip_pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            image_embeds_start=e0, image_embeds_end=e1,
+            num_inference_steps=3,
+        )
+        assert out.shape == (3, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    def test_image_embeds_change_output(self, ip_pipe):
+        e0, e1 = self._embeds()
+        kw = dict(prompt_start="a cat", prompt_end="a dog", num_inference_steps=3)
+        no_ip = ip_pipe.interpolate_single(0.5, **kw)
+        with_ip = ip_pipe.interpolate_single(
+            0.5, image_embeds_start=e0, image_embeds_end=e1, **kw)
+        assert np.any(no_ip != with_ip)
+
+    def test_scale_control(self, ip_pipe):
+        """image_end only -> scale-control mode: start endpoint is the
+        negative embed (reference sd:1772-1774)."""
+        _, e1 = self._embeds()
+        sc = dataclasses.replace(ip_pipe, scale_control=True)
+        out = sc.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            image_embeds_end=e1, negative_image_embeds=jnp.zeros_like(e1),
+            num_inference_steps=3,
+        )
+        assert out.shape == (3, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    @pytest.mark.parametrize("early", ["fused_outer", "fused_inner"])
+    def test_ip_interp_modes(self, ip_pipe, early):
+        e0, e1 = self._embeds()
+        out = ip_pipe.interpolate_single(
+            0.5, prompt_start="x", prompt_end="y", early=early,
+            image_embeds_start=e0, image_embeds_end=e1, num_inference_steps=2,
+        )
+        assert out.shape == (3, 16, 16, 3)
