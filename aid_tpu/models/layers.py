@@ -19,7 +19,7 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from aid_tpu.ops.attention import AttnMode, interpolated_attention
+from aid_tpu.ops.attention import AttnMode, dispatch_attention, interpolated_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +178,7 @@ class CrossAttention(nn.Module):
     out_dim: int
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"  # "auto" | "flash" (Pallas) | "xla" (jnp)
 
     @nn.compact
     def __call__(self, hidden, encoder_hidden=None, aid: Optional[AidContext] = None):
@@ -204,7 +205,10 @@ class CrossAttention(nn.Module):
         else:
             mode, coef = aid.mode.text, aid.coef
 
-        out = interpolated_attention(q, k, v, coef if coef is not None else jnp.zeros((q.shape[0],)), mode)
+        out = dispatch_attention(
+            q, k, v, coef if coef is not None else jnp.zeros((q.shape[0],)),
+            mode, backend=self.attention_backend,
+        )
 
         # IP-Adapter branch: cross-attention layers only
         # (reference interpolation.py:328-367 outer, :186-196 scale control).
@@ -221,7 +225,8 @@ class CrossAttention(nn.Module):
             ip_v = to_v_ip(aid.ip_hidden_states)
             ip_k, ip_v = heads(ip_k), heads(ip_v)
             ip_mode = AttnMode.SELF if aid.mode.ip == "own" else AttnMode(aid.mode.ip)
-            ip_out = interpolated_attention(q, ip_k, ip_v, aid.coef, ip_mode)
+            ip_out = dispatch_attention(q, ip_k, ip_v, aid.coef, ip_mode,
+                                        backend=self.attention_backend)
             if aid.mode.ip_coef_scaled:
                 w = aid.coef.astype(jnp.float32).reshape(-1, 1, 1, 1)
                 out = (out.astype(jnp.float32) + w * ip_out.astype(jnp.float32)).astype(out.dtype)
@@ -261,15 +266,18 @@ class BasicTransformerBlock(nn.Module):
     dim: int
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim, has_ip=False,
-                               dtype=self.dtype, name="attn1")(h, None, aid)
+                               dtype=self.dtype, attention_backend=self.attention_backend,
+                               name="attn1")(h, None, aid)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim, has_ip=self.has_ip,
-                               dtype=self.dtype, name="attn2")(h, encoder_hidden, aid)
+                               dtype=self.dtype, attention_backend=self.attention_backend,
+                               name="attn2")(h, encoder_hidden, aid)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
@@ -285,6 +293,7 @@ class Transformer2D(nn.Module):
     use_linear_projection: bool = False
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):
@@ -301,7 +310,8 @@ class Transformer2D(nn.Module):
         for i in range(self.num_layers):
             x = BasicTransformerBlock(
                 self.num_heads, self.head_dim, inner, has_ip=self.has_ip,
-                dtype=self.dtype, name=f"transformer_blocks_{i}",
+                dtype=self.dtype, attention_backend=self.attention_backend,
+                name=f"transformer_blocks_{i}",
             )(x, encoder_hidden, aid)
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)

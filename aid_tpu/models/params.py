@@ -1,0 +1,280 @@
+"""Checkpoint conversion: HF/diffusers torch state dicts -> flax param trees.
+
+The reference loads checkpoints via diffusers from_pretrained /
+load_ip_adapter (reference pipeline_interpolated_sd.py:283-289, :986-991;
+model zoo in README.md:175-184). Here the equivalent is a pure
+numpy/safetensors converter (no torch needed at load time) mapping
+diffusers/transformers parameter names onto aid_tpu module trees:
+
+  * Linear:   weight (out, in)      -> kernel (in, out)          [transpose]
+  * Conv2d:   weight (o, i, kh, kw) -> kernel (kh, kw, i, o)     [transpose]
+  * Norms:    weight/bias           -> scale/bias
+  * Embedding: weight               -> embedding
+
+Converted trees can be cached with orbax for fast reload (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# generic machinery
+# ---------------------------------------------------------------------------
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    try:  # torch tensor
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _assign(tree: Dict, path, value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_leaf(name: str, w: np.ndarray, kind: str) -> Tuple[str, np.ndarray]:
+    """Map a torch parameter leaf to (flax_name, flax_array)."""
+    if kind == "embedding":
+        return "embedding", w
+    if name == "weight":
+        if w.ndim == 4:  # conv OIHW -> HWIO
+            return "kernel", w.transpose(2, 3, 1, 0)
+        if w.ndim == 2:  # linear (out,in) -> (in,out)
+            return "kernel", w.transpose(1, 0)
+        return "scale", w  # norm
+    return name, w  # bias
+
+
+_EMBEDDING_MODULES = ("token_embedding", "position_embedding")
+
+
+def _torch_path_to_flax(parts) -> Tuple[tuple, str]:
+    """Collapse indexed diffusers segments into aid_tpu module names.
+
+    'down_blocks.0.attentions.1.transformer_blocks.0.attn1.to_q.weight' ->
+    (('down_blocks_0_attentions_1', 'transformer_blocks_0', 'attn1', 'to_q'), 'weight')
+    """
+    out = []
+    i = 0
+    n = len(parts)
+    while i < n - 1:  # last part is the leaf name
+        p = parts[i]
+        if p in ("down_blocks", "up_blocks") and i + 3 < n and parts[i + 1].isdigit():
+            # down_blocks.I.(resnets|attentions|downsamplers|upsamplers).J
+            blk, idx, sub, j = parts[i], parts[i + 1], parts[i + 2], parts[i + 3]
+            out.append(f"{blk}_{idx}_{sub}_{j}")
+            i += 4
+        elif p == "mid_block" and i + 2 < n and parts[i + 2].isdigit() and parts[i + 1] in ("resnets", "attentions"):
+            out.append(f"mid_block_{parts[i + 1]}_{parts[i + 2]}")
+            i += 3
+        elif p in ("transformer_blocks", "layers") and i + 1 < n and parts[i + 1].isdigit():
+            out.append(f"{p}_{parts[i + 1]}")
+            i += 2
+        elif p in ("net", "to_out") and i + 1 < n and parts[i + 1].isdigit():
+            # ff.net.0.proj -> net_0_proj ; to_out.0 -> to_out_0
+            if parts[i + 1] == "0" and i + 2 < n - 1 and parts[i + 2] == "proj":
+                out.append("net_0_proj")
+                i += 3
+            else:
+                out.append(f"{p}_{parts[i + 1]}")
+                i += 2
+        elif p == "mlp" and i + 1 < n and parts[i + 1] in ("fc1", "fc2"):
+            out.append(f"mlp_{parts[i + 1]}")
+            i += 2
+        elif p in ("to_k_ip", "to_v_ip") and i + 1 < n and parts[i + 1].isdigit():
+            out.append(p)  # diffusers wraps these in a ModuleList of 1
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return tuple(out), parts[-1]
+
+
+def convert_torch_state_dict(state_dict: Dict[str, Any], strip_prefixes=()) -> Dict:
+    """Generic diffusers/transformers torch state dict -> flax params tree."""
+    tree: Dict = {}
+    for key, value in state_dict.items():
+        for pre in strip_prefixes:
+            if key.startswith(pre):
+                key = key[len(pre):]
+        parts = key.split(".")
+        if parts[-1] in ("num_batches_tracked",):
+            continue
+        w = _to_numpy(value)
+        # transformers vision tower class_embedding is a bare parameter
+        if parts[-1] == "class_embedding":
+            _assign(tree, tuple(parts), w)
+            continue
+        path, leaf = _torch_path_to_flax(parts)
+        kind = "embedding" if (path and path[-1] in _EMBEDDING_MODULES and leaf == "weight") else ""
+        name, w = _convert_leaf(leaf, w, kind)
+        _assign(tree, path + (name,), w)
+    return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# model-specific wrappers
+# ---------------------------------------------------------------------------
+
+def convert_unet_state_dict(sd: Dict[str, Any]) -> Dict:
+    """diffusers UNet2DConditionModel state dict -> UNet2DCondition params.
+
+    Note: diffusers FeedForward GEGLU is 'ff.net.0.proj' + 'ff.net.2';
+    Transformer2D proj_in/proj_out are conv or linear depending on
+    use_linear_projection — ndim-based transposes handle both.
+    """
+    return convert_torch_state_dict(sd)
+
+
+def convert_vae_state_dict(sd: Dict[str, Any]) -> Dict:
+    """diffusers AutoencoderKL state dict -> AutoencoderKL params."""
+    return convert_torch_state_dict(sd)
+
+
+def convert_clip_text_state_dict(sd: Dict[str, Any]) -> Dict:
+    """transformers CLIPTextModel(WithProjection) -> CLIPTextModel params."""
+    remapped = {}
+    for k, v in sd.items():
+        k = k.replace("text_model.", "")
+        k = k.replace("embeddings.", "").replace("encoder.", "")
+        remapped[k] = v
+    return convert_torch_state_dict(remapped)
+
+
+def convert_clip_vision_state_dict(sd: Dict[str, Any]) -> Dict:
+    """transformers CLIPVisionModelWithProjection -> CLIPVisionModel params."""
+    remapped = {}
+    for k, v in sd.items():
+        k = k.replace("vision_model.", "")
+        k = k.replace("embeddings.", "").replace("encoder.", "")
+        remapped[k] = v
+    return convert_torch_state_dict(remapped)
+
+
+def convert_ip_adapter_state_dict(sd: Dict[str, Any], unet_cross_attn_names) -> Tuple[Dict, Dict]:
+    """IP-Adapter checkpoint -> (per-layer to_k_ip/to_v_ip tree, ImageProjection params).
+
+    Checkpoint format (h94/IP-Adapter): {'image_proj': {proj|norm...},
+    'ip_adapter': {'<idx>.to_k_ip.weight', ...}} where <idx> counts UNet
+    attention processors in diffusers order and only odd indices (attn2)
+    carry weights. ``unet_cross_attn_names``: flax module paths of the
+    cross-attention layers in that same order (see unet_attention_order).
+    """
+    image_proj = convert_torch_state_dict(sd["image_proj"])
+
+    ip = sd["ip_adapter"]
+    idxs = sorted({int(k.split(".")[0]) for k in ip.keys()})
+    assert len(idxs) == len(unet_cross_attn_names), (
+        f"IP checkpoint has {len(idxs)} cross-attn entries, UNet has {len(unet_cross_attn_names)}"
+    )
+    tree: Dict = {}
+    for idx, path in zip(idxs, unet_cross_attn_names):
+        for proj in ("to_k_ip", "to_v_ip"):
+            w = _to_numpy(ip[f"{idx}.{proj}.weight"]).transpose(1, 0)
+            _assign(tree, tuple(path) + (proj, "kernel"), w)
+    return {"params": tree}, image_proj
+
+
+def unet_attention_order(config) -> list:
+    """Flax module paths of cross-attention (attn2) layers in diffusers
+    attn_processors order: down blocks, mid, up blocks."""
+    names = []
+
+    def add(base, level):
+        for ti in range(max(config.transformer_layers_per_block[level], 1)):
+            names.append((base, f"transformer_blocks_{ti}", "attn2"))
+
+    for level in range(config.num_levels):
+        if config.cross_attention_levels[level]:
+            for j in range(config.layers_per_block):
+                add(f"down_blocks_{level}_attentions_{j}", level)
+    top = config.num_levels - 1
+    mid_level = top if config.cross_attention_levels[top] else next(
+        i for i in reversed(range(config.num_levels)) if config.cross_attention_levels[i]
+    )
+    add("mid_block_attentions_0", mid_level)
+    for up_idx, level in enumerate(reversed(range(config.num_levels))):
+        if config.cross_attention_levels[level]:
+            for j in range(config.layers_per_block + 1):
+                add(f"up_blocks_{up_idx}_attentions_{j}", level)
+    return names
+
+
+def merge_params(base: Dict, extra: Dict) -> Dict:
+    """Deep-merge ``extra`` into a copy of ``base`` (e.g. IP weights into a
+    converted UNet tree — the reference's load_ip_adapter step)."""
+    import copy
+
+    out = copy.deepcopy(base)
+
+    def rec(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                rec(dst[k], v)
+            else:
+                dst[k] = v
+
+    rec(out, extra)
+    return out
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Load a .safetensors file (or all shards in a directory) as numpy."""
+    from safetensors import safe_open
+
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".safetensors")
+        )
+    sd = {}
+    for f in files:
+        with safe_open(f, framework="numpy") as st:
+            for k in st.keys():
+                sd[k] = st.get_tensor(k)
+    return sd
+
+
+def convert_lpips_state_dict(sd: Dict[str, Any]) -> Dict:
+    """torch ``lpips.LPIPS(net='vgg')`` checkpoint -> metrics.LPIPS params.
+
+    torch keys: net.slice{1..5}.<idx>.weight/bias (VGG convs by sequential
+    index) and lin{0..4}.model.1.weight (1x1 heads).
+    """
+    from aid_tpu.metrics.lpips import VGG16_STAGES
+
+    # sequential index -> (stage, conv-in-stage)
+    seq_to_pos = {}
+    seq = 0
+    for si, (ch, n_convs) in enumerate(VGG16_STAGES):
+        for ci in range(n_convs):
+            seq_to_pos[seq] = (si, ci)
+            seq += 1  # conv
+            seq += 1  # relu
+        seq += 1  # maxpool
+
+    tree: Dict = {}
+    for k, v in sd.items():
+        w = _to_numpy(v)
+        if k.startswith("net.slice"):
+            # torchvision vgg indices restart from 0 inside each slice; the
+            # lpips wrapper keeps global indices — handle both by parsing int
+            parts = k.split(".")
+            idx = int(parts[2])
+            si, ci = seq_to_pos[idx]
+            name, w = _convert_leaf(parts[-1], w, "")
+            _assign(tree, ("vgg", f"conv{si}_{ci}", name), w)
+        elif k.startswith("lin"):
+            si = int(k[3])
+            _assign(tree, (f"lin{si}", "kernel"), w.transpose(2, 3, 1, 0))
+    return {"params": tree}

@@ -37,6 +37,7 @@ from aid_tpu.models.layers import (
 class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"  # "auto" | "flash" (Pallas) | "xla" (jnp)
 
     @nn.compact
     def __call__(
@@ -84,6 +85,7 @@ class UNet2DCondition(nn.Module):
                 use_linear_projection=cfg.use_linear_projection,
                 has_ip=cfg.ip_num_tokens > 0,
                 dtype=self.dtype,
+                attention_backend=self.attention_backend,
                 name=name,
             )
 
@@ -119,6 +121,7 @@ class UNet2DCondition(nn.Module):
             use_linear_projection=cfg.use_linear_projection,
             has_ip=cfg.ip_num_tokens > 0,
             dtype=self.dtype,
+            attention_backend=self.attention_backend,
             name="mid_block_attentions_0",
         )(h, encoder_hidden_states, aid)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,

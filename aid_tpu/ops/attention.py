@@ -81,6 +81,40 @@ def attention(
     return _softmax_attn(q, k, v, scale)
 
 
+def resolve_backend(backend: str = "auto") -> str:
+    """'flash' (Pallas kernel) on TPU, 'xla' (jnp) elsewhere.
+
+    The xla path is also the one to use under GSPMD sharding — pallas_call
+    is opaque to the SPMD partitioner (parallel/mesh.py shards the jnp path).
+    """
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "flash" if jax.default_backend() == "tpu" else "xla"
+
+
+def dispatch_attention(
+    q, k, v, coef, mode,
+    k_begin=None, v_begin=None, k_end=None, v_end=None,
+    scale=None, backend: str = "auto",
+):
+    """Route to the Pallas flash kernel or the jnp reference path."""
+    if resolve_backend(backend) == "flash":
+        from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+        return flash_interpolated_attention(
+            q, k, v, coef, mode,
+            k_begin=k_begin, v_begin=v_begin, k_end=k_end, v_end=v_end,
+            scale=scale,
+        )
+    return interpolated_attention(
+        q, k, v, coef, mode,
+        k_begin=k_begin, v_begin=v_begin, k_end=k_end, v_end=v_end,
+        scale=scale,
+    )
+
+
 def interpolated_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -125,7 +159,8 @@ def interpolated_attention(
             ep = explicit
             if ep.ndim == q.ndim:  # (B,H,S,D) given; rows identical by construction
                 ep = ep[row]
-        return jnp.broadcast_to(ep[None], x.shape)
+        # endpoint sequence length may differ from the own-KV length
+        return jnp.broadcast_to(ep[None], (x.shape[0],) + ep.shape)
 
     kb = _endpoint(k, k_begin, 0)
     vb = _endpoint(v, v_begin, 0)

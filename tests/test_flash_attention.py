@@ -1,0 +1,72 @@
+"""Pallas flash interpolated-attention kernel vs the jnp reference
+implementation (SURVEY.md §4 'Kernel': inner/outer x fused/pure x self/cross,
+batch 3 and batch N). Runs in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aid_tpu.ops import interpolated_attention
+from aid_tpu.ops.attention import AttnMode
+from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+MODES = ["self", "pure_outer", "fused_outer", "pure_inner", "fused_inner"]
+
+
+def _data(B, H, S, L, D, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(B, H, S, D)).astype(np.float32)
+    k = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    v = rng.normal(size=(B, H, L, D)).astype(np.float32)
+    coef = np.linspace(0, 1, B).astype(np.float32)
+    return map(jnp.asarray, (q, k, v, coef))
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (3, 2, 64, 64, 40),  # self-attention-like, head_dim 40 (padding)
+        (5, 2, 64, 77, 64),  # cross-attention-like (L=77, masking), batch N
+        (3, 1, 300, 300, 64),  # non-multiple of block sizes
+    ],
+)
+def test_kernel_matches_jnp_reference(mode, shape):
+    B, H, S, L, D = shape
+    q, k, v, coef = _data(B, H, S, L, D)
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(
+        q, k, v, coef, mode, block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["fused_outer", "pure_inner"])
+def test_kernel_explicit_endpoints(mode):
+    B, H, S, L, D = 3, 2, 64, 32, 32
+    q, k, v, coef = _data(B, H, S, L, D)
+    rng = np.random.default_rng(9)
+    Le = 48
+    kb = jnp.asarray(rng.normal(size=(H, Le, D)).astype(np.float32))
+    vb = jnp.asarray(rng.normal(size=(H, Le, D)).astype(np.float32))
+    ke = jnp.asarray(rng.normal(size=(H, Le, D)).astype(np.float32))
+    ve = jnp.asarray(rng.normal(size=(H, Le, D)).astype(np.float32))
+    want = interpolated_attention(q, k, v, coef, mode, k_begin=kb, v_begin=vb, k_end=ke, v_end=ve)
+    got = flash_interpolated_attention(
+        q, k, v, coef, mode, k_begin=kb, v_begin=vb, k_end=ke, v_end=ve,
+        block_q=64, block_k=64, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_bf16(mode="fused_outer"):
+    B, H, S, L, D = 3, 2, 128, 128, 64
+    q, k, v, coef = _data(B, H, S, L, D)
+    q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(q, k, v, coef, mode, block_q=128, block_k=128, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.06, atol=0.06,
+    )

@@ -1,0 +1,166 @@
+"""Prior/selection tests: DP path search vs brute force, beta fitting,
+dynamic selection with a fake deterministic scorer (SURVEY.md §4)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from aid_tpu.metrics.gini import compute_gini, compute_smoothness_and_consistency
+from aid_tpu.prior import (
+    BetaPriorPipeline,
+    GPOptimizer,
+    bayesian_prior_selection,
+    find_minimal_spread_and_path,
+    fit_alpha_beta,
+)
+
+
+def _brute_force_minimal_spread(n, m, weights):
+    """Exhaustive search over all increasing paths 0 -> m-1 of length n."""
+    best_spread, best_path = None, None
+    for mids in itertools.combinations(range(1, m - 1), n - 2):
+        path = (0,) + mids + (m - 1,)
+        ws = [weights[path[i]][path[i + 1]] for i in range(n - 1)]
+        if any(w == -1 for w in ws):
+            continue
+        spread = max(ws) - min(ws)
+        if best_spread is None or spread < best_spread:
+            best_spread, best_path = spread, list(path)
+    return best_spread, best_path
+
+
+class TestDPPathSearch:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_brute_force_spread(self, seed):
+        rng = np.random.default_rng(seed)
+        m, n = 8, 4
+        weights = -np.ones((m, m))
+        for i in range(m):
+            for j in range(i + 1, m):
+                weights[i][j] = rng.uniform(0.1, 1.0)
+        want_spread, _ = _brute_force_minimal_spread(n, m, weights)
+        got_spread, got_path = find_minimal_spread_and_path(n, m, weights)
+        assert got_path[0] == 0 and got_path[-1] == m - 1 and len(got_path) == n
+        ws = [weights[got_path[i]][got_path[i + 1]] for i in range(n - 1)]
+        # binary search converges to within epsilon of the optimum
+        assert max(ws) - min(ws) <= want_spread + 1e-4
+
+
+class TestBetaFit:
+    def test_recovers_known_beta(self):
+        from aid_tpu.ops.interp import beta_cdf, generate_beta_schedule
+
+        a_true, b_true = 4.0, 2.0
+        xs = np.linspace(0.01, 0.99, 12)
+        cdf = beta_cdf(xs, a_true, b_true)
+        ds = np.diff(cdf)  # distances proportional to CDF increments
+        a, b = fit_alpha_beta(xs, ds)
+        assert abs(a - a_true) < 0.2 and abs(b - b_true) < 0.2
+
+
+class _FakePipe:
+    """Deterministic stand-in: 'image' i is a gradient image keyed by t."""
+
+    def __init__(self):
+        self.calls = []
+
+    def interpolate_single(self, t, *args, **kwargs):
+        self.calls.append(t)
+        def img(tv):
+            x = np.full((8, 8, 3), tv * 255.0)
+            return x.astype(np.uint8)
+        return np.stack([img(0.0), img(t), img(1.0)])
+
+    def interpolate_save_gpu(self, *args, size=3, alpha=None, beta=None, **kw):
+        from aid_tpu.ops.interp import generate_beta_schedule
+
+        ts = generate_beta_schedule(size, alpha or 3, beta or 3, force_endpoints=True)
+        return np.stack([np.full((8, 8, 3), t * 255.0, np.uint8) for t in ts])
+
+
+def _fake_features(images: np.ndarray) -> np.ndarray:
+    """Maps brightness to an angle on the unit circle -> cosine distance is
+    monotone in |t_a - t_b| (deterministic CLIP stand-in)."""
+    t = images.reshape(images.shape[0], -1).mean(axis=1) / 255.0
+    ang = t * 0.9  # < pi
+    return np.stack([np.cos(ang), np.sin(ang)], axis=1)
+
+
+class TestBetaPriorPipeline:
+    def test_explore_inserts_at_largest_gap(self):
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        images, features, ds, xs, alpha, beta = bp.explore_with_beta(
+            "a", "b", exploration_size=7, num_inference_steps=2,
+        )
+        assert len(xs) == 7
+        assert xs == sorted(xs) and xs[0] == 0.0 and xs[-1] == 1.0
+        assert len(ds) == len(xs) - 1
+        assert len(images) == len(features) == 7
+
+    def test_generate_interpolation_selects_subsequence(self):
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        out = bp.generate_interpolation(
+            "a", "b", exploration_size=8, interpolation_size=5,
+            num_inference_steps=2,
+        )
+        assert len(out) == 5
+        assert bp.xs[0] == 0.0 and bp.xs[-1] == 1.0
+
+    def test_uniform_mode(self):
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        _, _, _, xs, alpha, beta = bp.explore_with_beta(
+            "a", "b", exploration_size=5, uniform=True, num_inference_steps=2,
+        )
+        assert alpha == 1.0 and beta == 1.0
+        # uniform midpoint insertion: 0.25/0.75 appear
+        assert any(abs(x - 0.25) < 1e-6 for x in xs)
+
+
+class TestGini:
+    def test_matches_reference_double_loop(self):
+        rng = np.random.default_rng(0)
+        d = rng.uniform(0.1, 1.0, size=11)
+        # reference O(n^2) formula (utils.py:142-168)
+        s = sorted(d)
+        n = len(s)
+        tot = sum(abs(a - b) for a in s for b in s)
+        want = tot / (2 * n * n * np.mean(s))
+        assert abs(compute_gini(d) - want) < 1e-12
+
+    def test_uniform_distances_gini_zero(self):
+        assert compute_gini([0.5] * 6) < 1e-12
+        s, c, m = compute_smoothness_and_consistency([0.5] * 6)
+        assert abs(s - 1.0) < 1e-12 and abs(c - 0.5) < 1e-12 and m == 0.5
+
+    def test_short_input(self):
+        assert compute_gini([0.3]) == 0.0
+
+
+def _fake_lpips(images: np.ndarray) -> np.ndarray:
+    t = images.reshape(images.shape[0], -1).mean(axis=1) / 255.0
+    return np.abs(np.diff(t))
+
+
+class TestBayesianSelection:
+    def test_gp_optimizer_finds_peak(self):
+        opt = GPOptimizer(bounds=np.array([[0.0, 10.0], [0.0, 10.0]]), seed=0)
+        f = lambda x: -((x[0] - 3.0) ** 2 + (x[1] - 7.0) ** 2)
+        for x in [[0, 0], [10, 10], [5, 5], [0, 10], [10, 0]]:
+            opt.register(x, f(x))
+        for _ in range(25):
+            x = opt.suggest()
+            opt.register(x, f(x))
+        best = opt.max["params"]
+        assert abs(best[0] - 3.0) < 1.5 and abs(best[1] - 7.0) < 1.5
+
+    def test_bayesian_prior_selection_runs(self):
+        pipe = _FakePipe()
+        a, b = bayesian_prior_selection(
+            pipe, None, None, "a", "b", _fake_lpips,
+            size=5, num_inference_steps=4, n_iter=3, target_score=0.99,
+        )
+        assert 1.0 <= a <= 4.0 and 1.0 <= b <= 4.0
