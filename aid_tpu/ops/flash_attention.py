@@ -7,24 +7,27 @@ without materializing attention logits in HBM:
   * ``pure_outer``  — two online-softmax accumulator sets, one attending the
                       begin-endpoint K/V and one the end-endpoint K/V,
                       blended by the per-frame coefficient at the end
-  * ``fused_outer`` — same, but the frame's own K/V blocks update BOTH
-                      accumulator sets first (logical concat [K_i; K_*],
-                      reference interpolation.py:643-649, with no
-                      materialized concat; the shared self-block scores are
-                      computed ONCE and reused for both endpoints)
-  * ``pure_inner`` / ``fused_inner`` — endpoint K/V blocks lerped on the fly
-                      in VMEM (K_x = (1-c) K_b + c K_e, interpolation.py:771-775)
+  * ``fused_outer`` — same, plus the frame's own K/V blocks update BOTH
+                      accumulator sets (logical concat [K_i; K_*], reference
+                      interpolation.py:643-649, never materialized as
+                      doubled-length logits; shared self-block scores are
+                      computed ONCE for both endpoints)
+  * ``pure_inner`` / ``fused_inner`` — endpoint K/V lerped per frame
+                      (K_x = (1-c) K_b + c K_e, interpolation.py:771-775; a
+                      cheap fused elementwise op at the caller), then flash
+                      over [K_i; K_x]
 
-Structure: grid (B, H, q_blocks, kv_steps) where kv_steps walks the frame's
-own K/V blocks first (fused modes) and then the endpoint K/V blocks; the
-online-softmax state (m, l, acc) lives in VMEM scratch persisted across the
+Layout: the caller packs one KV stream per frame — [own | begin | end] for
+outer, [own | cross] for inner — so every BlockSpec index map is static and
+the grid (B, H, q_blocks, kv_blocks) pipelines cleanly. Online-softmax state
+(m, l, acc) x {begin,end} lives in VMEM scratch persisted across the
 sequential innermost grid dimension.
 
 vs the jnp reference (ops.attention): fused-outer self-attention at SD1.5
 512px materializes 2 x (B,H,4096,8192) float32 logit tensors (~6 GB HBM
 traffic per layer); here scores never leave VMEM. Numerics: f32 scores on
-the MXU, f32 online softmax, probabilities cast to input dtype for the PV
-matmul, f32 accumulators.
+the MXU, f32 online softmax, probabilities cast to the input dtype for the
+PV matmul, f32 accumulators.
 """
 
 from __future__ import annotations
@@ -48,18 +51,14 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _kernel(
-    # scalar-prefetch
-    kv_len_ref,  # (1,) valid own-KV length
-    ep_len_ref,  # (1,) valid endpoint-KV length
+    # scalar-prefetch: per-phase valid lengths (absolute cols in the packed
+    # stream): [self_end, begin_end, end_end]
+    lens_ref,
     coef_ref,  # (B,) f32
     # inputs
     q_ref,  # (1, 1, bq, Dp)
-    k_ref,  # (1, 1, bk, Dp)  own-KV block (stale outside self phase)
+    k_ref,  # (1, 1, bk, Dp) packed-stream block
     v_ref,
-    kb_ref,  # (1, bk, Dp)    endpoint blocks (stale during self phase)
-    vb_ref,
-    ke_ref,
-    ve_ref,
     # output
     o_ref,  # (1, 1, bq, Dp)
     # scratch
@@ -71,13 +70,13 @@ def _kernel(
     scale: float,
     block_k: int,
     n_self: int,
+    n_begin: int,
     n_steps: int,
 ):
     j = pl.program_id(3)
     b = pl.program_id(0)
     bq, Dp = q_ref.shape[2], q_ref.shape[3]
-    n_sets = 2 if mode.is_outer else 1
-    c = coef_ref[b]
+    two_sets = mode.is_outer
 
     @pl.when(j == 0)
     def _init():
@@ -86,17 +85,22 @@ def _kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0, 0]
-    is_self_phase = j < n_self  # traced; n_self is static (0 for pure modes)
+    base = j * block_k
 
-    def scores(k_blk, base, valid):
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        return jnp.where(col + base < valid, s, NEG_INF)
+    # phase of this block in the packed stream and its valid end column
+    in_self = j < n_self
+    in_begin = jnp.logical_and(j >= n_self, j < n_self + n_begin)
+    valid = jnp.where(in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2]))
 
-    def update(idx, s, v_blk):
+    s = jax.lax.dot_general(
+        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+    s = jnp.where(col + base < valid, s, NEG_INF)
+    v_blk = v_ref[0, 0]
+
+    def update(idx):
         m_old = m_ref[idx, :, :1]
         m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_old - m_new)
@@ -110,34 +114,23 @@ def _kernel(
         m_ref[idx] = jnp.broadcast_to(m_new, (bq, LANES))
         l_ref[idx] = jnp.broadcast_to(l_new, (bq, LANES))
 
-    if n_self > 0:
-        @pl.when(is_self_phase)
-        def _self_phase():
-            base = j * block_k
-            s = scores(k_ref[0, 0], base, kv_len_ref[0])
-            v_blk = v_ref[0, 0]
-            update(0, s, v_blk)
-            if n_sets == 2:
-                update(1, s, v_blk)  # reuses the same scores
+    if not two_sets:
+        update(0)
+    else:
+        # self blocks update both sets; begin -> set 0; end -> set 1
+        @pl.when(jnp.logical_or(in_self, in_begin))
+        def _():
+            update(0)
 
-    @pl.when(jnp.logical_not(is_self_phase))
-    def _endpoint_phase():
-        base = (j - n_self) * block_k
-        valid = ep_len_ref[0]
-        if mode.is_outer:
-            update(0, scores(kb_ref[0], base, valid), vb_ref[0])
-            update(1, scores(ke_ref[0], base, valid), ve_ref[0])
-        else:  # inner (or the cross sweep of fused_inner)
-            kx = ((1.0 - c) * kb_ref[0].astype(jnp.float32)
-                  + c * ke_ref[0].astype(jnp.float32)).astype(q.dtype)
-            vx = ((1.0 - c) * vb_ref[0].astype(jnp.float32)
-                  + c * ve_ref[0].astype(jnp.float32)).astype(q.dtype)
-            update(0, scores(kx, base, valid), vx)
+        @pl.when(jnp.logical_or(in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))))
+        def _():
+            update(1)
 
     @pl.when(j == n_steps - 1)
     def _finalize():
         out0 = acc_ref[0] / l_ref[0, :, :1]
-        if mode.is_outer:
+        if two_sets:
+            c = coef_ref[b]
             out1 = acc_ref[1] / l_ref[1, :, :1]
             out = (1.0 - c) * out0 + c * out1
         else:
@@ -200,13 +193,41 @@ def flash_interpolated_attention(
         return jnp.pad(x, pads)
 
     qp = pad(q, 2, Sqp)
-    kp, vp = pad(k, 2, Lkp), pad(v, 2, Lkp)
-    kbp, vbp = pad(k_begin, 1, Lep), pad(v_begin, 1, Lep)
-    kep, vep = pad(k_end, 1, Lep), pad(v_end, 1, Lep)
 
-    n_self = 0 if mode in (AttnMode.PURE_OUTER, AttnMode.PURE_INNER) else Lkp // block_k
-    n_ep = 0 if mode == AttnMode.SELF else Lep // block_k
-    n_steps = n_self + n_ep
+    # ---- pack the per-frame KV stream: [own | begin | end] / [own | cross]
+    cf = coef.astype(jnp.float32)
+    include_self = mode in (AttnMode.SELF, AttnMode.FUSED_OUTER, AttnMode.FUSED_INNER)
+    segs_k, segs_v = [], []
+    if include_self:
+        segs_k.append(pad(k, 2, Lkp))
+        segs_v.append(pad(v, 2, Lkp))
+    n_self = Lkp // block_k if include_self else 0
+
+    if mode.is_outer:
+        tile = lambda x: jnp.broadcast_to(pad(x, 1, Lep)[None], (B, H, Lep, Dp))
+        segs_k += [tile(k_begin), tile(k_end)]
+        segs_v += [tile(v_begin), tile(v_end)]
+        n_begin = n_end = Lep // block_k
+    elif mode.is_inner:
+        c4 = cf.reshape(B, 1, 1, 1)
+        kx = (1.0 - c4) * k_begin[None].astype(jnp.float32) + c4 * k_end[None].astype(jnp.float32)
+        vx = (1.0 - c4) * v_begin[None].astype(jnp.float32) + c4 * v_end[None].astype(jnp.float32)
+        segs_k.append(pad(kx.astype(q.dtype), 2, Lep))
+        segs_v.append(pad(vx.astype(q.dtype), 2, Lep))
+        n_begin, n_end = Lep // block_k, 0
+    else:
+        n_begin = n_end = 0
+
+    kv_k = segs_k[0] if len(segs_k) == 1 else jnp.concatenate(segs_k, axis=2)
+    kv_v = segs_v[0] if len(segs_v) == 1 else jnp.concatenate(segs_v, axis=2)
+    n_steps = n_self + n_begin + n_end
+
+    # absolute valid end columns per phase in the packed stream
+    self_end = Lk
+    begin_end = n_self * block_k + Le
+    end_end = (n_self + n_begin) * block_k + Le
+    # inner's cross phase masks via the "begin" slot
+    lens = jnp.array([self_end, begin_end, end_end], jnp.int32)
 
     kernel = functools.partial(
         _kernel,
@@ -214,26 +235,17 @@ def flash_interpolated_attention(
         scale=float(scale),
         block_k=block_k,
         n_self=n_self,
+        n_begin=n_begin,
         n_steps=n_steps,
     )
 
-    def clamp(x, hi):
-        return jnp.clip(x, 0, hi)
-
-    n_self_m1 = max(n_self - 1, 0)
-    n_ep_m1 = max(n_ep - 1, 0)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, H, Sqp // block_q, n_steps),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, Dp), lambda b, h, i, j, *_: (b, h, clamp(j, n_self_m1), 0)),
-            pl.BlockSpec((1, 1, block_k, Dp), lambda b, h, i, j, *_: (b, h, clamp(j, n_self_m1), 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda b, h, i, j, *_: (h, clamp(j - n_self, n_ep_m1), 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda b, h, i, j, *_: (h, clamp(j - n_self, n_ep_m1), 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda b, h, i, j, *_: (h, clamp(j - n_self, n_ep_m1), 0)),
-            pl.BlockSpec((1, block_k, Dp), lambda b, h, i, j, *_: (h, clamp(j - n_self, n_ep_m1), 0)),
+            pl.BlockSpec((1, 1, block_k, Dp), lambda b, h, i, j, *_: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, Dp), lambda b, h, i, j, *_: (b, h, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0)),
         scratch_shapes=[
@@ -248,10 +260,5 @@ def flash_interpolated_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
         interpret=interpret,
-    )(
-        jnp.array([Lk], jnp.int32),
-        jnp.array([Le], jnp.int32),
-        coef.astype(jnp.float32),
-        qp, kp, vp, kbp, vbp, kep, vep,
-    )
+    )(lens, cf, qp, kv_k, kv_v)
     return out[:, :, :Sq, :D]

@@ -16,3 +16,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# Build native components (cheap; skipped silently if toolchain missing).
+import subprocess
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "aid_tpu", "native", "libdp_solver.so")
+if not os.path.exists(_so):
+    try:
+        subprocess.run([os.path.join(_repo, "native", "build.sh")], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass

@@ -164,3 +164,24 @@ class TestBayesianSelection:
             size=5, num_inference_steps=4, n_iter=3, target_score=0.99,
         )
         assert 1.0 <= a <= 4.0 and 1.0 <= b <= 4.0
+
+
+class TestNativeSolver:
+    def test_cpp_matches_python(self):
+        pytest.importorskip("aid_tpu.native.dp_solver")
+        from aid_tpu.native import dp_solver
+        from aid_tpu.prior.beta import _find_minimal_spread_and_path_py
+
+        rng = np.random.default_rng(3)
+        m, n = 9, 4
+        w = -np.ones((m, m))
+        for i in range(m):
+            for j in range(i + 1, m):
+                w[i][j] = rng.uniform(0.1, 1.0)
+        d_cpp, p_cpp = dp_solver.find_minimal_spread_and_path(n, m, w)
+        d_py, p_py = _find_minimal_spread_and_path_py(n, m, w)
+        ws = lambda p: [w[p[i]][p[i + 1]] for i in range(n - 1)]
+        s_cpp = max(ws(p_cpp)) - min(ws(p_cpp))
+        s_py = max(ws(p_py)) - min(ws(p_py))
+        assert abs(s_cpp - s_py) < 1e-4
+        assert p_cpp[0] == 0 and p_cpp[-1] == m - 1
