@@ -1,0 +1,196 @@
+"""Assemble pipelines from local diffusers-format checkpoint directories.
+
+The reference's `from_pretrained` path (pipeline_interpolated_sd.py:283-438,
+gradio_src/pipeline_interpolated_stable_diffusion.py:31-86): read each
+subfolder's config.json + safetensors, convert to flax trees, build the
+matching aid_tpu modules. Zero-egress: paths must be local (a pre-populated
+HF cache works).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+from aid_tpu.models import configs as C
+from aid_tpu.models.clip import CLIPTextModel
+from aid_tpu.models.params import (
+    convert_clip_text_state_dict,
+    convert_unet_state_dict,
+    convert_vae_state_dict,
+    load_safetensors,
+)
+from aid_tpu.models.unet import UNet2DCondition
+from aid_tpu.models.vae import AutoencoderKL
+from aid_tpu.utils.tokenizer import load_tokenizer
+
+
+def _read_config(path: str) -> dict:
+    with open(os.path.join(path, "config.json")) as f:
+        return json.load(f)
+
+
+def unet_config_from_diffusers(cfg: dict) -> C.UNetConfig:
+    """diffusers UNet2DConditionModel config.json -> UNetConfig."""
+    down_types = cfg["down_block_types"]
+    levels = len(down_types)
+    cross = tuple("CrossAttn" in t for t in down_types)
+
+    def per_level(v, default):
+        v = cfg.get(v, default)
+        return tuple(v) if isinstance(v, (list, tuple)) else (v,) * levels
+
+    # diffusers legacy quirk: attention_head_dim is the HEAD COUNT when
+    # num_attention_heads is unset (SD1.x: 8 means 8 heads)
+    heads = cfg.get("num_attention_heads") or cfg.get("attention_head_dim", 8)
+    heads = tuple(heads) if isinstance(heads, (list, tuple)) else (heads,) * levels
+
+    return C.UNetConfig(
+        sample_size=cfg.get("sample_size", 64),
+        in_channels=cfg.get("in_channels", 4),
+        out_channels=cfg.get("out_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        cross_attention_levels=cross,
+        layers_per_block=cfg.get("layers_per_block", 2),
+        transformer_layers_per_block=per_level("transformer_layers_per_block", 1),
+        num_attention_heads=heads,
+        cross_attention_dim=cfg.get("cross_attention_dim", 768),
+        use_linear_projection=cfg.get("use_linear_projection", False),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        freq_shift=cfg.get("freq_shift", 0),
+        flip_sin_to_cos=cfg.get("flip_sin_to_cos", True),
+        addition_embed_type=cfg.get("addition_embed_type"),
+        addition_time_embed_dim=cfg.get("addition_time_embed_dim") or 256,
+        projection_class_embeddings_input_dim=cfg.get("projection_class_embeddings_input_dim"),
+    )
+
+
+def vae_config_from_diffusers(cfg: dict) -> C.VAEConfig:
+    lm = cfg.get("latents_mean")
+    ls = cfg.get("latents_std")
+    return C.VAEConfig(
+        in_channels=cfg.get("in_channels", 3),
+        out_channels=cfg.get("out_channels", 3),
+        latent_channels=cfg.get("latent_channels", 4),
+        block_out_channels=tuple(cfg["block_out_channels"]),
+        layers_per_block=cfg.get("layers_per_block", 2),
+        norm_num_groups=cfg.get("norm_num_groups", 32),
+        scaling_factor=cfg.get("scaling_factor", 0.18215),
+        latents_mean=tuple(lm) if lm else None,
+        latents_std=tuple(ls) if ls else None,
+        force_upcast=cfg.get("force_upcast", True),
+    )
+
+
+def clip_text_config_from_transformers(cfg: dict) -> C.CLIPTextConfig:
+    proj = None
+    if "CLIPTextModelWithProjection" in (cfg.get("architectures") or []):
+        proj = cfg.get("projection_dim")
+    return C.CLIPTextConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        max_position_embeddings=cfg.get("max_position_embeddings", 77),
+        hidden_act=cfg.get("hidden_act", "quick_gelu"),
+        projection_dim=proj,
+    )
+
+
+def load_unet(path: str, dtype=jnp.bfloat16):
+    cfg = unet_config_from_diffusers(_read_config(path))
+    module = UNet2DCondition(cfg, dtype=dtype)
+    params = convert_unet_state_dict(load_safetensors(path))
+    return module, params
+
+
+def load_vae(path: str, dtype=jnp.float32):
+    cfg = vae_config_from_diffusers(_read_config(path))
+    module = AutoencoderKL(cfg, dtype=dtype)
+    params = convert_vae_state_dict(load_safetensors(path))
+    return module, params
+
+
+def load_text_encoder(path: str, dtype=jnp.float32):
+    cfg = clip_text_config_from_transformers(_read_config(path))
+    module = CLIPTextModel(cfg, dtype=dtype)
+    params = convert_clip_text_state_dict(load_safetensors(path))
+    return module, params
+
+
+def load_interpolation_pipeline(
+    repo_path: str,
+    scheduler_name: str = "ddim",
+    dtype=jnp.bfloat16,
+    guidance_scale: float = 7.5,
+):
+    """Build an InterpolationPipeline from a local SD1.x/2.x checkpoint dir.
+
+    Layout: unet/ vae/ text_encoder/ tokenizer/ (scheduler config is read
+    for prediction_type when present). Reference equivalent:
+    InterpolationStableDiffusionPipeline.from_pretrained + load_aid.
+    """
+    from aid_tpu.pipelines import InterpolationPipeline
+    from aid_tpu.schedulers import DDIMScheduler, EulerDiscreteScheduler, SchedulerConfig, UniPCScheduler
+
+    unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype)
+    vae, vae_params = load_vae(os.path.join(repo_path, "vae"))
+    text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"))
+    tokenizer = load_tokenizer(os.path.join(repo_path, "tokenizer"))
+
+    sch_cfg = SchedulerConfig()
+    sch_path = os.path.join(repo_path, "scheduler", "scheduler_config.json")
+    if os.path.exists(sch_path):
+        with open(sch_path) as f:
+            sc = json.load(f)
+        sch_cfg = SchedulerConfig(
+            num_train_timesteps=sc.get("num_train_timesteps", 1000),
+            beta_start=sc.get("beta_start", 0.00085),
+            beta_end=sc.get("beta_end", 0.012),
+            beta_schedule=sc.get("beta_schedule", "scaled_linear"),
+            prediction_type=sc.get("prediction_type", "epsilon"),
+            timestep_spacing=sc.get("timestep_spacing", "leading"),
+            steps_offset=sc.get("steps_offset", 1),
+            set_alpha_to_one=sc.get("set_alpha_to_one", False),
+            clip_sample=sc.get("clip_sample", False),
+            rescale_betas_zero_snr=sc.get("rescale_betas_zero_snr", False),
+        )
+    scheduler = {
+        "ddim": DDIMScheduler,
+        "unipc": UniPCScheduler,
+        "euler": EulerDiscreteScheduler,
+    }[scheduler_name](sch_cfg)
+
+    return InterpolationPipeline(
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+        text_encoder=text, text_params=text_params,
+        tokenizer=tokenizer, scheduler=scheduler,
+        guidance_scale=guidance_scale,
+    )
+
+
+def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "euler", dtype=jnp.bfloat16):
+    """Build an InterpolationXLPipeline from a local SDXL checkpoint dir."""
+    from aid_tpu.pipelines.sdxl import InterpolationXLPipeline
+    from aid_tpu.schedulers import DDIMScheduler, EulerDiscreteScheduler, UniPCScheduler
+
+    unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype)
+    vae, vae_params = load_vae(os.path.join(repo_path, "vae"))
+    text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"))
+    text2, text2_params = load_text_encoder(os.path.join(repo_path, "text_encoder_2"))
+    scheduler = {"ddim": DDIMScheduler, "unipc": UniPCScheduler, "euler": EulerDiscreteScheduler}[scheduler_name]()
+
+    return InterpolationXLPipeline(
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+        text_encoder=text, text_params=text_params,
+        tokenizer=load_tokenizer(os.path.join(repo_path, "tokenizer")),
+        text_encoder_2=text2, text_params_2=text2_params,
+        tokenizer_2=load_tokenizer(os.path.join(repo_path, "tokenizer_2")),
+        scheduler=scheduler,
+    )
