@@ -51,6 +51,13 @@ class AidMode:
     text: AttnMode = AttnMode.SELF
     ip: Optional[str] = None
     ip_coef_scaled: bool = False
+    # Batched-CFG split point: when set to N, the batch is [N cond frames;
+    # N uncond frames] in ONE forward. Cond rows take endpoints from cond
+    # rows 0 / N-1; uncond rows use their OWN K/V as both endpoints, which
+    # reduces every AID mode exactly to vanilla attention (duplicated-KV
+    # softmax identity) — reproducing the reference's two-pass CFG
+    # (sd:1859-1889) with half the weight HBM traffic.
+    cfg_split: Optional[int] = None
 
     @staticmethod
     def vanilla(has_ip: bool = False, scale_control: bool = False) -> "AidMode":
@@ -205,9 +212,25 @@ class CrossAttention(nn.Module):
         else:
             mode, coef = aid.mode.text, aid.coef
 
+        def per_row_endpoints(x, n):
+            """Rows [0,n): endpoints = cond rows 0 / n-1; rows [n,2n): own."""
+            b0 = jnp.broadcast_to(x[0:1], (n,) + x.shape[1:])
+            e0 = jnp.broadcast_to(x[n - 1:n], (n,) + x.shape[1:])
+            return (
+                jnp.concatenate([b0, x[n:]], axis=0),
+                jnp.concatenate([e0, x[n:]], axis=0),
+            )
+
+        eps = {}
+        if aid is not None and aid.mode.cfg_split and mode != AttnMode.SELF:
+            n = aid.mode.cfg_split
+            kb, ke = per_row_endpoints(k, n)
+            vb, ve = per_row_endpoints(v, n)
+            eps = dict(k_begin=kb, v_begin=vb, k_end=ke, v_end=ve)
+
         out = dispatch_attention(
             q, k, v, coef if coef is not None else jnp.zeros((q.shape[0],)),
-            mode, backend=self.attention_backend,
+            mode, backend=self.attention_backend, **eps,
         )
 
         # IP-Adapter branch: cross-attention layers only
@@ -225,8 +248,14 @@ class CrossAttention(nn.Module):
             ip_v = to_v_ip(aid.ip_hidden_states)
             ip_k, ip_v = heads(ip_k), heads(ip_v)
             ip_mode = AttnMode.SELF if aid.mode.ip == "own" else AttnMode(aid.mode.ip)
+            ip_eps = {}
+            if aid.mode.cfg_split and ip_mode != AttnMode.SELF:
+                n = aid.mode.cfg_split
+                ikb, ike = per_row_endpoints(ip_k, n)
+                ivb, ive = per_row_endpoints(ip_v, n)
+                ip_eps = dict(k_begin=ikb, v_begin=ivb, k_end=ike, v_end=ive)
             ip_out = dispatch_attention(q, ip_k, ip_v, aid.coef, ip_mode,
-                                        backend=self.attention_backend)
+                                        backend=self.attention_backend, **ip_eps)
             if aid.mode.ip_coef_scaled:
                 w = aid.coef.astype(jnp.float32).reshape(-1, 1, 1, 1)
                 out = (out.astype(jnp.float32) + w * ip_out.astype(jnp.float32)).astype(out.dtype)

@@ -155,10 +155,10 @@ def interpolated_attention(
     def _endpoint(x, explicit, row):
         if explicit is None:
             ep = x[row]
+        elif explicit.ndim == q.ndim:  # (B,H,S,D): PER-ROW endpoints, use as-is
+            return explicit
         else:
             ep = explicit
-            if ep.ndim == q.ndim:  # (B,H,S,D) given; rows identical by construction
-                ep = ep[row]
         # endpoint sequence length may differ from the own-KV length
         return jnp.broadcast_to(ep[None], (x.shape[0],) + ep.shape)
 

@@ -169,15 +169,14 @@ def flash_interpolated_attention(
         scale = D ** -0.5
     if coef is None:
         coef = jnp.zeros((B,), jnp.float32)
+    # 3D endpoints (H,L,D) are shared across rows; 4D (B,H,L,D) are PER-ROW
+    # (used by the batched-CFG path where uncond rows carry their own K/V as
+    # both endpoints, which reduces exactly to vanilla attention).
     if k_begin is None:
         k_begin, v_begin = k[0], v[0]
-    elif k_begin.ndim == 4:  # (B,H,L,D) given; rows identical by construction
-        k_begin, v_begin = k_begin[0], v_begin[0]
     if k_end is None:
         k_end, v_end = k[-1], v[-1]
-    elif k_end.ndim == 4:
-        k_end, v_end = k_end[-1], v_end[-1]
-    Le = k_begin.shape[1]
+    Le = k_begin.shape[-2]
 
     Dp = _ceil_to(D, LANES)
     block_q = min(block_q, _ceil_to(Sq, LANES))
@@ -203,17 +202,22 @@ def flash_interpolated_attention(
         segs_v.append(pad(v, 2, Lkp))
     n_self = Lkp // block_k if include_self else 0
 
+    def tile(x):  # (H,Le,D) or per-row (B,H,Le,D) -> padded (B,H,Lep,Dp)
+        x = pad(x, x.ndim - 2, Lep)
+        if x.ndim == 3:
+            x = jnp.broadcast_to(x[None], (B, H, Lep, Dp))
+        return x
+
     if mode.is_outer:
-        tile = lambda x: jnp.broadcast_to(pad(x, 1, Lep)[None], (B, H, Lep, Dp))
         segs_k += [tile(k_begin), tile(k_end)]
         segs_v += [tile(v_begin), tile(v_end)]
         n_begin = n_end = Lep // block_k
     elif mode.is_inner:
         c4 = cf.reshape(B, 1, 1, 1)
-        kx = (1.0 - c4) * k_begin[None].astype(jnp.float32) + c4 * k_end[None].astype(jnp.float32)
-        vx = (1.0 - c4) * v_begin[None].astype(jnp.float32) + c4 * v_end[None].astype(jnp.float32)
-        segs_k.append(pad(kx.astype(q.dtype), 2, Lep))
-        segs_v.append(pad(vx.astype(q.dtype), 2, Lep))
+        kb4, ke4 = tile(k_begin).astype(jnp.float32), tile(k_end).astype(jnp.float32)
+        vb4, ve4 = tile(v_begin).astype(jnp.float32), tile(v_end).astype(jnp.float32)
+        segs_k.append(((1.0 - c4) * kb4 + c4 * ke4).astype(q.dtype))
+        segs_v.append(((1.0 - c4) * vb4 + c4 * ve4).astype(q.dtype))
         n_begin, n_end = Lep // block_k, 0
     else:
         n_begin = n_end = 0

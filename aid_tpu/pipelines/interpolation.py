@@ -66,6 +66,9 @@ class InterpolationPipeline:
     ip_proj_params: Any = None
     ip_scale: float = 1.0
     scale_control: bool = False
+    # "sequential" = reference's two UNet passes per step; "batched" = one
+    # 2N-batch pass (mathematically identical; see engine.denoise_sequence).
+    cfg_mode: str = "sequential"
 
     # ------------------------------------------------------------------
     # plumbing
@@ -128,6 +131,74 @@ class InterpolationPipeline:
         return early_mode, late_mode
 
     # ------------------------------------------------------------------
+    # AID / IP-Adapter configuration (reference load_aid /
+    # load_aid_ip_adapter / activate_aid / deactivate_aid,
+    # pipeline_interpolated_sd.py:950-1020 — explicit state, no
+    # monkey-patching: these set defaults consumed per call)
+    # ------------------------------------------------------------------
+    def load_aid(self, is_fused: bool = True, atype: str = "outer"):
+        """Set the default early interpolation mode (reference load_aid)."""
+        prefix = "fused" if is_fused else "pure"
+        self.default_early = f"{prefix}_{atype}"
+        return self
+
+    def load_aid_ip_adapter(
+        self,
+        checkpoint,
+        image_encoder=None,
+        image_encoder_params=None,
+        scale: float = 1.0,
+        early: str = "fused_outer",
+    ):
+        """Attach IP-Adapter weights (reference load_aid_ip_adapter).
+
+        ``checkpoint``: a torch-format IP-Adapter state dict (keys
+        image_proj / ip_adapter) or a path to its .safetensors/.bin.
+        Merges the per-layer to_k_ip/to_v_ip kernels into the UNet params
+        (the UNet config must have ip_num_tokens > 0) and attaches the
+        image projection. ``early='scale_control'`` selects the
+        ScaleControl behavior.
+        """
+        from aid_tpu.models.ip_adapter import ImageProjection
+        from aid_tpu.models.params import (
+            convert_ip_adapter_state_dict,
+            load_safetensors,
+            merge_params,
+            unet_attention_order,
+        )
+
+        if isinstance(checkpoint, str):
+            flat = load_safetensors(checkpoint)
+            checkpoint = {"image_proj": {}, "ip_adapter": {}}
+            for k, v in flat.items():
+                group, rest = k.split(".", 1)
+                checkpoint[group][rest] = v
+        order = unet_attention_order(self.unet.config)
+        ip_tree, proj_params = convert_ip_adapter_state_dict(checkpoint, order)
+        self.unet_params = merge_params(self.unet_params, ip_tree)
+        self.ip_proj = ImageProjection(
+            cross_attention_dim=self.unet.config.cross_attention_dim,
+            num_tokens=self.unet.config.ip_num_tokens,
+        )
+        self.ip_proj_params = proj_params
+        self.ip_scale = scale
+        self.scale_control = early == "scale_control"
+        self.default_early = early if early != "scale_control" else "fused_outer"
+        self.image_encoder = image_encoder
+        self.image_encoder_params = image_encoder_params
+        return self
+
+    def encode_image(self, images) -> jnp.ndarray:
+        """Images (N,H,W,3) -> CLIP image embeds (N, D) via the attached
+        image encoder (reference encode_image, sd:661-692)."""
+        assert getattr(self, "image_encoder", None) is not None, "no image encoder attached"
+        from aid_tpu.prior.clip_scorer import preprocess
+
+        px = preprocess(jnp.asarray(images), self.image_encoder.config.image_size)
+        embeds, _ = self.image_encoder.apply(self.image_encoder_params, px)
+        return embeds
+
+    # ------------------------------------------------------------------
     # core generation
     # ------------------------------------------------------------------
     def _run_sequence(
@@ -174,6 +245,7 @@ class InterpolationPipeline:
             ip_uncond_embeds=self._project_ip(ip_uncond_image_embeds),
             ip_scale=self.ip_scale,
             added_cond=added_cond,
+            cfg_mode=self.cfg_mode,
         )
         if output_type == "latent":
             return final

@@ -85,8 +85,10 @@ class TestInterpolateSequence:
             0.5, l0, l1, "a cat", "a dog", num_inference_steps=STEPS,
             warmup_ratio=0.5,
         )
-        np.testing.assert_array_equal(seq[0], single[0])
-        np.testing.assert_array_equal(seq[-1], single[-1])
+        # different batch sizes compile different programs; XLA CPU reduction
+        # partitioning may vary -> compare up to 1 uint8 step, not bitwise
+        np.testing.assert_allclose(seq[0].astype(int), single[0].astype(int), atol=1)
+        np.testing.assert_allclose(seq[-1].astype(int), single[-1].astype(int), atol=1)
 
     def test_guide_prompt_broadcast(self, pipe):
         l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
@@ -115,3 +117,28 @@ class TestBaselines:
     def test_text2img(self, pipe):
         out = pipe("a cat", num_inference_steps=STEPS, seed=11)
         assert out.shape == (1, 16, 16, 3)
+
+
+class TestBatchedCFG:
+    def test_batched_matches_sequential(self, pipe):
+        """cfg_mode='batched' (one 2N-batch forward; uncond rows carry own
+        K/V as both endpoints) must match the reference-structure sequential
+        CFG — the duplicated-KV softmax identity makes them mathematically
+        identical."""
+        import dataclasses
+
+        kw = dict(prompt_start="a cat", prompt_end="a dog",
+                  num_inference_steps=STEPS, seed=3)
+        seq = pipe.interpolate_single(0.5, **kw)
+        batched_pipe = dataclasses.replace(pipe, cfg_mode="batched")
+        bat = batched_pipe.interpolate_single(0.5, **kw)
+        np.testing.assert_allclose(bat.astype(int), seq.astype(int), atol=1)
+
+    def test_batched_full_sequence(self, pipe):
+        import dataclasses
+
+        batched_pipe = dataclasses.replace(pipe, cfg_mode="batched")
+        l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
+        seq = pipe.interpolate(l0, l1, "a", "b", size=4, num_inference_steps=2)
+        bat = batched_pipe.interpolate(l0, l1, "a", "b", size=4, num_inference_steps=2)
+        np.testing.assert_allclose(bat.astype(int), seq.astype(int), atol=1)

@@ -138,3 +138,49 @@ class TestIPAdapter:
             image_embeds_start=e0, image_embeds_end=e1, num_inference_steps=2,
         )
         assert out.shape == (3, 16, 16, 3)
+
+
+class TestIPAdapterLoading:
+    def test_load_aid_ip_adapter_from_state_dict(self):
+        """End-to-end: synthetic IP checkpoint -> load -> morphing output
+        changes vs text-only (reference load_aid_ip_adapter workflow)."""
+        import numpy as np
+        from aid_tpu.models.params import unet_attention_order
+
+        cfg = configs.TINY_UNET_IP
+        pipe = tiny_pipeline(unet_cfg=cfg)
+        order = unet_attention_order(cfg)
+        rng = np.random.default_rng(0)
+
+        sd = {
+            "image_proj": {
+                "proj.weight": rng.normal(size=(cfg.ip_num_tokens * cfg.cross_attention_dim, cfg.ip_hidden_dim)).astype(np.float32) * 0.1,
+                "proj.bias": np.zeros(cfg.ip_num_tokens * cfg.cross_attention_dim, np.float32),
+                "norm.weight": np.ones(cfg.cross_attention_dim, np.float32),
+                "norm.bias": np.zeros(cfg.cross_attention_dim, np.float32),
+            },
+            "ip_adapter": {},
+        }
+        inner_by_level = {}
+        for li, path in enumerate(order):
+            level = 0 if path[0].startswith(("down_blocks_0", "up_blocks_1")) else 1
+            ch = cfg.block_out_channels[level]
+            for proj in ("to_k_ip", "to_v_ip"):
+                sd["ip_adapter"][f"{2 * li + 1}.{proj}.weight"] = (
+                    rng.normal(size=(ch, cfg.cross_attention_dim)).astype(np.float32) * 0.1)
+
+        before = pipe.interpolate_single(0.5, prompt_start="x", prompt_end="y", num_inference_steps=2)
+        pipe.load_aid_ip_adapter(sd, scale=0.8)
+        e0 = jnp.asarray(rng.normal(size=(1, cfg.ip_hidden_dim)).astype(np.float32))
+        e1 = jnp.asarray(rng.normal(size=(1, cfg.ip_hidden_dim)).astype(np.float32))
+        after = pipe.interpolate_single(
+            0.5, prompt_start="x", prompt_end="y",
+            image_embeds_start=e0, image_embeds_end=e1, num_inference_steps=2,
+        )
+        assert after.shape == before.shape
+        assert np.any(after != before)
+
+    def test_load_aid_sets_default(self):
+        pipe = tiny_pipeline()
+        pipe.load_aid(is_fused=False, atype="inner")
+        assert pipe.default_early == "pure_inner"
