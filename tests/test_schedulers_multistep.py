@@ -83,3 +83,37 @@ def test_euler_init_noise_sigma():
     sch2 = EulerDiscreteScheduler(SchedulerConfig(timestep_spacing="linspace"))
     state2 = sch2.init(10)
     assert 14.0 < state2.init_noise_sigma < 15.0
+
+
+class TestEDMDPM:
+    def test_perfect_model_recovers_x0(self):
+        from aid_tpu.schedulers import EDMDPMSolverScheduler
+
+        sch = EDMDPMSolverScheduler()
+        n = 15
+        shape = (1, 4, 4, 4)
+        state = sch.init(n, latent_shape=shape)
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * 0.5
+        noise = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        x = x0 + noise * state.sigmas[0]
+        sd = sch.sigma_data
+        for i in range(n):
+            sigma = state.sigmas[i]
+            # perfect EDM F: x0 = c_skip*x + c_out*F  =>  F = (x0 - c_skip*x)/c_out
+            c_skip = sd ** 2 / (sigma ** 2 + sd ** 2)
+            c_out = sigma * sd / jnp.sqrt(sigma ** 2 + sd ** 2)
+            F = (x0 - c_skip * x) / c_out
+            x, state = sch.step(state, F, jnp.asarray(i), x)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-3, atol=1e-3)
+
+    def test_in_pipeline(self):
+        import dataclasses
+        from helpers import tiny_pipeline
+        from aid_tpu.schedulers import EDMDPMSolverScheduler
+
+        pipe = tiny_pipeline()
+        pipe = dataclasses.replace(pipe, scheduler=EDMDPMSolverScheduler())
+        out = pipe.interpolate_single(0.5, prompt_start="a", prompt_end="b", num_inference_steps=4)
+        assert out.shape == (3, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
