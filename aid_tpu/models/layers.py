@@ -221,16 +221,30 @@ class CrossAttention(nn.Module):
                 jnp.concatenate([e0, x[n:]], axis=0),
             )
 
+        def skip_mask(c, n_cond):
+            """Rows whose endpoint attention segments are provably no-ops:
+            coef-0/1 frames whose corresponding endpoint is their own K/V,
+            and (batched CFG) uncond rows whose endpoints are their own."""
+            B = c.shape[0]
+            row = jnp.arange(B)
+            cond_skip = ((row == 0) & (c == 0.0)) | ((row == n_cond - 1) & (c == 1.0))
+            return jnp.where(row < n_cond, cond_skip, True)
+
         eps = {}
-        if aid is not None and aid.mode.cfg_split and mode != AttnMode.SELF:
-            n = aid.mode.cfg_split
-            kb, ke = per_row_endpoints(k, n)
-            vb, ve = per_row_endpoints(v, n)
-            eps = dict(k_begin=kb, v_begin=vb, k_end=ke, v_end=ve)
+        skip = None
+        if aid is not None and mode != AttnMode.SELF:
+            if aid.mode.cfg_split:
+                n = aid.mode.cfg_split
+                kb, ke = per_row_endpoints(k, n)
+                vb, ve = per_row_endpoints(v, n)
+                eps = dict(k_begin=kb, v_begin=vb, k_end=ke, v_end=ve)
+                skip = skip_mask(coef, n)
+            else:
+                skip = skip_mask(coef, k.shape[0])
 
         out = dispatch_attention(
             q, k, v, coef if coef is not None else jnp.zeros((q.shape[0],)),
-            mode, backend=self.attention_backend, **eps,
+            mode, backend=self.attention_backend, skip_endpoints=skip, **eps,
         )
 
         # IP-Adapter branch: cross-attention layers only

@@ -97,16 +97,20 @@ def resolve_backend(backend: str = "auto") -> str:
 def dispatch_attention(
     q, k, v, coef, mode,
     k_begin=None, v_begin=None, k_end=None, v_end=None,
-    scale=None, backend: str = "auto",
+    scale=None, backend: str = "auto", skip_endpoints=None,
 ):
-    """Route to the Pallas flash kernel or the jnp reference path."""
+    """Route to the Pallas flash kernel or the jnp reference path.
+
+    ``skip_endpoints``: optional (B,) bool — rows whose endpoint segments
+    provably reduce to vanilla attention; the flash kernel skips their
+    compute (the jnp path ignores the hint; results are identical)."""
     if resolve_backend(backend) == "flash":
         from aid_tpu.ops.flash_attention import flash_interpolated_attention
 
         return flash_interpolated_attention(
             q, k, v, coef, mode,
             k_begin=k_begin, v_begin=v_begin, k_end=k_end, v_end=v_end,
-            scale=scale,
+            scale=scale, skip_endpoints=skip_endpoints,
         )
     return interpolated_attention(
         q, k, v, coef, mode,

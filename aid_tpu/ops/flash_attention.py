@@ -55,6 +55,7 @@ def _kernel(
     # stream): [self_end, begin_end, end_end]
     lens_ref,
     coef_ref,  # (B,) f32
+    skip_ref,  # (B,) int32: 1 = this row's endpoint segments are no-ops
     # inputs
     q_ref,  # (1, 1, bq, Dp)
     k_ref,  # (1, 1, bk, Dp) packed-stream block
@@ -92,39 +93,47 @@ def _kernel(
     in_begin = jnp.logical_and(j >= n_self, j < n_self + n_begin)
     valid = jnp.where(in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2]))
 
-    s = jax.lax.dot_general(
-        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-    s = jnp.where(col + base < valid, s, NEG_INF)
-    v_blk = v_ref[0, 0]
+    # Per-row endpoint skip: rows whose endpoint segments provably reduce to
+    # vanilla attention (coef-0/1 endpoint frames; batched-CFG uncond rows
+    # with own K/V as both endpoints) skip the endpoint blocks entirely —
+    # real predicated control flow, the MXU work is not issued.
+    active = jnp.logical_or(in_self, skip_ref[b] == 0)
 
-    def update(idx):
-        m_old = m_ref[idx, :, :1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l_ref[idx, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+    @pl.when(active)
+    def _compute():
+        s = jax.lax.dot_general(
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        acc_ref[idx] = acc_ref[idx] * alpha + pv
-        m_ref[idx] = jnp.broadcast_to(m_new, (bq, LANES))
-        l_ref[idx] = jnp.broadcast_to(l_new, (bq, LANES))
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        s = jnp.where(col + base < valid, s, NEG_INF)
+        v_blk = v_ref[0, 0]
 
-    if not two_sets:
-        update(0)
-    else:
-        # self blocks update both sets; begin -> set 0; end -> set 1
-        @pl.when(jnp.logical_or(in_self, in_begin))
-        def _():
+        def update(idx):
+            m_old = m_ref[idx, :, :1]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l_ref[idx, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[idx] = acc_ref[idx] * alpha + pv
+            m_ref[idx] = jnp.broadcast_to(m_new, (bq, LANES))
+            l_ref[idx] = jnp.broadcast_to(l_new, (bq, LANES))
+
+        if not two_sets:
             update(0)
+        else:
+            # self blocks update both sets; begin -> set 0; end -> set 1
+            @pl.when(jnp.logical_or(in_self, in_begin))
+            def _():
+                update(0)
 
-        @pl.when(jnp.logical_or(in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))))
-        def _():
-            update(1)
+            @pl.when(jnp.logical_or(in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))))
+            def _():
+                update(1)
 
     @pl.when(j == n_steps - 1)
     def _finalize():
@@ -153,6 +162,7 @@ def flash_interpolated_attention(
     k_end: Optional[jnp.ndarray] = None,  # default k[-1]
     v_end: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    skip_endpoints=None,  # (B,) bool: rows whose endpoint segments are no-ops
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
@@ -248,7 +258,7 @@ def flash_interpolated_attention(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, H, Sqp // block_q, n_steps),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -272,11 +282,17 @@ def flash_interpolated_attention(
     except TypeError:  # older pallas without the field
         compiler_params = None
 
+    if skip_endpoints is None or not mode.is_fused:
+        # pure modes have no self segments — their single pass must run
+        skip = jnp.zeros((B,), jnp.int32)
+    else:
+        skip = skip_endpoints.astype(jnp.int32)
+
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
         compiler_params=compiler_params,
         interpret=interpret,
-    )(lens, cf, qp, kv_k, kv_v)
+    )(lens, cf, skip, qp, kv_k, kv_v)
     return out[:, :, :Sq, :D]

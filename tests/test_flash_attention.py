@@ -70,3 +70,51 @@ def test_kernel_bf16(mode="fused_outer"):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=0.06, atol=0.06,
     )
+
+
+def test_skip_endpoints_exactness():
+    """Rows with coef 0/1 whose endpoint == own K/V may skip endpoint
+    segments — output must be EXACTLY the unskipped result."""
+    B, H, S, D = 4, 2, 128, 64
+    q, k, v, _ = _data(B, H, S, S, D)
+    coef = jnp.array([0.0, 0.3, 0.8, 1.0])
+    skip = jnp.array([True, False, False, True])
+    for mode in ["fused_outer", "fused_inner"]:
+        base = flash_interpolated_attention(
+            q, k, v, coef, mode, block_q=128, block_k=128, interpret=True)
+        skipped = flash_interpolated_attention(
+            q, k, v, coef, mode, skip_endpoints=skip,
+            block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(skipped), np.asarray(base), rtol=2e-5, atol=2e-5)
+
+
+def test_skip_endpoints_cfg_uncond_rows():
+    """Batched-CFG style: uncond rows carry their own K/V as both endpoints;
+    skipping them must equal both the unskipped run AND vanilla attention."""
+    from aid_tpu.ops import attention
+
+    B, H, S, D = 6, 2, 128, 64  # 3 cond + 3 uncond
+    q, k, v, _ = _data(B, H, S, S, D)
+    n = 3
+    coef = jnp.array([0.0, 0.5, 1.0, 0.0, 0.5, 1.0])
+
+    def per_row(x):
+        b0 = jnp.broadcast_to(x[0:1], (n,) + x.shape[1:])
+        e0 = jnp.broadcast_to(x[n - 1:n], (n,) + x.shape[1:])
+        return (jnp.concatenate([b0, x[n:]], axis=0),
+                jnp.concatenate([e0, x[n:]], axis=0))
+
+    kb, ke = per_row(k)
+    vb, ve = per_row(v)
+    skip = jnp.array([True, False, True, True, True, True])
+    out = flash_interpolated_attention(
+        q, k, v, coef, "fused_outer", k_begin=kb, v_begin=vb, k_end=ke, v_end=ve,
+        skip_endpoints=skip, block_q=128, block_k=128, interpret=True)
+    ref = flash_interpolated_attention(
+        q, k, v, coef, "fused_outer", k_begin=kb, v_begin=vb, k_end=ke, v_end=ve,
+        block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # uncond rows must equal plain attention
+    vanilla = attention(q[n:], k[n:], v[n:])
+    np.testing.assert_allclose(np.asarray(out[n:]), np.asarray(vanilla), rtol=2e-5, atol=2e-5)
