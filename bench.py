@@ -20,10 +20,16 @@ forced by pulling a scalar checksum to host.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: the cold Mosaic/XLA compile of the full loop
+# takes minutes; repeat runs become seconds
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/aid_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 A100_BASELINE_FRAMES_PER_SEC = 0.21  # estimated; see module docstring
