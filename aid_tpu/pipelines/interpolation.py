@@ -218,12 +218,15 @@ class InterpolationPipeline:
         added_cond: Optional[dict] = None,
         output_type: str = "np",
         per_frame_decode: bool = False,
+        num_run_steps: Optional[int] = None,  # denoising_end truncation
     ):
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
         sched_state = self.scheduler.init(num_inference_steps, latent_shape=latents.shape)
         latents = latents * sched_state.init_noise_sigma
-        warmup_steps = int(num_inference_steps * warmup_ratio)
+        if num_run_steps is None:
+            num_run_steps = num_inference_steps
+        warmup_steps = min(int(num_inference_steps * warmup_ratio), num_run_steps)
         early_mode, late_mode = self._aid_modes(early, late)
 
         final = engine.denoise_sequence(
@@ -238,7 +241,7 @@ class InterpolationPipeline:
             jnp.float32(guidance_scale),
             early=early_mode,
             late=late_mode,
-            num_steps=num_inference_steps,
+            num_steps=num_run_steps,
             warmup_steps=warmup_steps,
             guidance_rescale=guidance_rescale,
             ip_embeds=self._project_ip(ip_image_embeds),

@@ -41,6 +41,18 @@ class InterpolationXLPipeline(InterpolationPipeline):
     guidance_scale: float = 5.0
     default_size: int = 1024
 
+    def _effective_steps(self, num_inference_steps: int, denoising_end: Optional[float]) -> int:
+        """denoising_end support (reference sdxl:2204-2220): stop the loop at
+        the discrete timestep cutoff for mixture-of-denoisers setups."""
+        if denoising_end is None or not (0.0 < denoising_end < 1.0):
+            return num_inference_steps
+        T = self.scheduler.config.num_train_timesteps if hasattr(self.scheduler, "config") else 1000
+        cutoff = round(T - denoising_end * T)
+        state = self.scheduler.init(num_inference_steps)
+        import numpy as np
+
+        return int(np.sum(np.asarray(state.timesteps) >= cutoff))
+
     def encode_prompt(self, prompt: str, negative_prompt: str = "", clip_skip: int = 0):
         """Returns ((1,S,2048) embeds, uncond) and stashes pooled embeds in
         self._last_pooled for the caller (SDXL pooled conditioning)."""
@@ -80,6 +92,7 @@ class InterpolationXLPipeline(InterpolationPipeline):
         guidance_scale: Optional[float] = None,
         height: Optional[int] = None,
         width: Optional[int] = None,
+        denoising_end: Optional[float] = None,
         output_type: str = "np",
     ):
         if alpha is None:
@@ -111,7 +124,9 @@ class InterpolationXLPipeline(InterpolationPipeline):
         return self._run_sequence(
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, added_cond=added,
-            output_type=output_type, per_frame_decode=True,
+            output_type="latent" if denoising_end else output_type,
+            per_frame_decode=True,
+            num_run_steps=self._effective_steps(num_inference_steps, denoising_end),
         )
 
     def interpolate_single(
@@ -135,6 +150,7 @@ class InterpolationXLPipeline(InterpolationPipeline):
         negative_image_embeds: Optional[jnp.ndarray] = None,
         height: Optional[int] = None,
         width: Optional[int] = None,
+        denoising_end: Optional[float] = None,
         seed: int = 0,
         output_type: str = "np",
     ):
@@ -181,5 +197,8 @@ class InterpolationXLPipeline(InterpolationPipeline):
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, guidance_rescale,
             ip_image_embeds=ip_cond, ip_uncond_image_embeds=ip_uncond,
-            added_cond=added, output_type=output_type, per_frame_decode=True,
+            added_cond=added,
+            output_type="latent" if denoising_end else output_type,
+            per_frame_decode=True,
+            num_run_steps=self._effective_steps(num_inference_steps, denoising_end),
         )

@@ -184,3 +184,17 @@ class TestIPAdapterLoading:
         pipe = tiny_pipeline()
         pipe.load_aid(is_fused=False, atype="inner")
         assert pipe.default_early == "pure_inner"
+
+
+class TestDenoisingEnd:
+    def test_truncated_loop_returns_latents(self, xl_pipe):
+        lat = xl_pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=4,
+            denoising_end=0.5,
+        )
+        # truncated runs return latents for a refiner stage
+        assert lat.shape[-1] == 4 and lat.shape[0] == 3
+        full = xl_pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=4,
+        )
+        assert full.shape[-1] == 3  # decoded images
