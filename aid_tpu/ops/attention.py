@@ -103,8 +103,12 @@ def dispatch_attention(
 
     ``skip_endpoints``: optional (B,) bool — rows whose endpoint segments
     provably reduce to vanilla attention; the flash kernel skips their
-    compute (the jnp path ignores the hint; results are identical)."""
-    if resolve_backend(backend) == "flash":
+    compute (the jnp path ignores the hint; results are identical).
+
+    Size heuristic: short-KV calls (cross-attention over 77 text or a few
+    IP tokens) materialize tiny logits — the XLA path beats the kernel's
+    fixed overhead there; the kernel takes over where logits get large."""
+    if resolve_backend(backend) == "flash" and k.shape[-2] >= 512:
         from aid_tpu.ops.flash_attention import flash_interpolated_attention
 
         return flash_interpolated_attention(

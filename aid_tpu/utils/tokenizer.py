@@ -29,10 +29,14 @@ class HashTokenizer:
         self.eos_id = 2
 
     def __call__(self, text: str) -> np.ndarray:
+        import hashlib
+
         words = text.lower().split()
         ids = [self.bos_id]
         for w in words[: self.max_length - 2]:
-            ids.append(3 + (hash(w) % (self.vocab_size - 3)))
+            # deterministic across processes (builtin hash() is salted)
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "little")
+            ids.append(3 + h % (self.vocab_size - 3))
         ids.append(self.eos_id)
         ids += [self.eos_id] * (self.max_length - len(ids))
         return np.asarray([ids], np.int32)
