@@ -278,3 +278,62 @@ def convert_lpips_state_dict(sd: Dict[str, Any]) -> Dict:
             si = int(k[3])
             _assign(tree, (f"lin{si}", "kernel"), w.transpose(2, 3, 1, 0))
     return {"params": tree}
+
+
+def merge_lora(params: Dict, lora_state_dict: Dict[str, Any], scale: float = 1.0) -> Dict:
+    """Merge LoRA weights into a converted UNet/text-encoder tree.
+
+    The reference inherits LoRA loading from diffusers mixins (reference
+    pipeline_interpolated_sd.py:283-289 FromSingleFileMixin/
+    TextualInversionLoaderMixin family). Here LoRA pairs are merged into
+    the base kernels at load time (W += scale * alpha/r * B @ A), which is
+    exactly equivalent at inference and keeps the compiled program
+    unchanged.
+
+    Accepts diffusers/PEFT-format keys:
+      <module path>.lora_A.weight (r, in) / <module path>.lora_B.weight (out, r)
+      (also ``lora.down`` / ``lora.up`` and ``lora_down`` / ``lora_up``)
+    Optional per-module ``.alpha`` scalars rescale by alpha/r.
+    """
+    import copy
+
+    out = copy.deepcopy(params)
+
+    pairs: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, value in lora_state_dict.items():
+        k = key
+        for pre in ("unet.", "base_model.model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        k = k.replace(".lora.down.", ".lora_A.").replace(".lora.up.", ".lora_B.")
+        k = k.replace(".lora_down.", ".lora_A.").replace(".lora_up.", ".lora_B.")
+        if ".lora_A." in k:
+            stem, role = k.split(".lora_A.")[0], "A"
+        elif ".lora_B." in k:
+            stem, role = k.split(".lora_B.")[0], "B"
+        elif k.endswith(".alpha"):
+            stem, role = k[: -len(".alpha")], "alpha"
+        else:
+            continue
+        pairs.setdefault(stem, {})[role] = _to_numpy(value)
+
+    for stem, d in pairs.items():
+        if "A" not in d or "B" not in d:
+            continue
+        A, B = d["A"], d["B"]  # (r, in), (out, r)
+        r = A.shape[0]
+        alpha = float(d.get("alpha", r))
+        delta = (B @ A) * (scale * alpha / r)  # (out, in) torch layout
+        path, _ = _torch_path_to_flax(stem.split(".") + ["weight"])
+        node = out["params"]
+        try:
+            for p in path:
+                node = node[p]
+        except KeyError:
+            raise KeyError(f"LoRA target not found in params: {stem} -> {path}")
+        kernel = node["kernel"]
+        if kernel.ndim == 2:  # linear: flax (in, out)
+            node["kernel"] = kernel + delta.transpose(1, 0).astype(kernel.dtype)
+        else:  # conv 1x1 LoRA: (out, in, 1, 1) -> HWIO
+            node["kernel"] = kernel + delta.reshape(*delta.shape, 1, 1).transpose(2, 3, 1, 0).astype(kernel.dtype)
+    return out

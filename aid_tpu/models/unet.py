@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from aid_tpu.models.configs import UNetConfig
+from aid_tpu.models.freeu import FreeUConfig, apply_freeu
 from aid_tpu.models.layers import (
     AidContext,
     Downsample2D,
@@ -47,6 +48,7 @@ class UNet2DCondition(nn.Module):
         encoder_hidden_states: jnp.ndarray,  # (B, S, cross_attention_dim)
         aid: Optional[AidContext] = None,
         added_cond: Optional[dict] = None,  # SDXL: {"text_embeds": (B,P), "time_ids": (B,6)}
+        freeu: Optional[FreeUConfig] = None,  # enable_freeu equivalent
     ) -> jnp.ndarray:
         cfg = self.config
         if timestep.ndim == 0:
@@ -133,6 +135,7 @@ class UNet2DCondition(nn.Module):
             is_final = up_idx == cfg.num_levels - 1
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
+                h, skip = apply_freeu(up_idx, h, skip, freeu)
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=self.dtype,
                                   name=f"up_blocks_{up_idx}_resnets_{j}")(h, emb)

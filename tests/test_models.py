@@ -128,3 +128,39 @@ class TestCLIP:
         assert embeds.shape == (2, cfg.projection_dim)
         n_patches = (cfg.image_size // cfg.patch_size) ** 2 + 1
         assert penult.shape == (2, n_patches, cfg.hidden_size)
+
+
+class TestFreeU:
+    def test_freeu_changes_output(self, rngs):
+        from aid_tpu.models.freeu import FreeUConfig
+
+        cfg = configs.TINY_UNET
+        model = UNet2DCondition(cfg)
+        B, H = 2, cfg.sample_size
+        x = jax.random.normal(jax.random.PRNGKey(4), (B, H, H, 4))
+        e = jax.random.normal(jax.random.PRNGKey(5), (B, 7, cfg.cross_attention_dim))
+        params = model.init(rngs, x, jnp.array(0), e)
+        base = model.apply(params, x, jnp.array(1), e)
+        freeu = model.apply(params, x, jnp.array(1), e, None, None, FreeUConfig())
+        assert base.shape == freeu.shape
+        assert np.abs(np.asarray(base - freeu)).max() > 1e-5
+        # neutral parameters must be a no-op (scale 1 everywhere)
+        neutral = model.apply(params, x, jnp.array(1), e, None, None,
+                              FreeUConfig(s1=1.0, s2=1.0, b1=1.0, b2=1.0))
+        np.testing.assert_allclose(np.asarray(neutral), np.asarray(base), rtol=1e-4, atol=1e-5)
+
+
+class TestFourierFilter:
+    def test_scale_one_is_identity(self):
+        from aid_tpu.models.freeu import fourier_filter
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+        y = fourier_filter(x, threshold=1, scale=1.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+    def test_scale_zero_removes_dc(self):
+        from aid_tpu.models.freeu import fourier_filter
+
+        x = jnp.ones((1, 8, 8, 1))  # pure DC
+        y = fourier_filter(x, threshold=1, scale=0.0)
+        np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-5)

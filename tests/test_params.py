@@ -217,3 +217,61 @@ class TestLPIPSConversion:
 
         d = model.apply(params, x, x)
         np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+class TestLoRAMerge:
+    def test_merge_changes_target_kernels_only(self):
+        from aid_tpu.models.params import merge_lora
+
+        cfg = configs.TINY_UNET
+        unet = UNet2DCondition(cfg)
+        s = cfg.sample_size
+        params = unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)), jnp.array(0),
+            jnp.zeros((1, 7, cfg.cross_attention_dim)),
+        )
+        inner = cfg.block_out_channels[0]
+        rng = np.random.default_rng(0)
+        r = 4
+        sd = {
+            "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                rng.normal(size=(r, inner)).astype(np.float32),
+            "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                rng.normal(size=(inner, r)).astype(np.float32),
+        }
+        merged = merge_lora(params, sd, scale=0.5)
+        base_k = params["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+        new_k = merged["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+        A, B = sd[list(sd)[0]], sd[list(sd)[1]]
+        want = np.asarray(base_k) + 0.5 * (B @ A).T  # alpha defaults to r
+        np.testing.assert_allclose(np.asarray(new_k), want, rtol=1e-5)
+        # untouched kernel unchanged
+        other_a = params["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]
+        other_b = merged["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(other_a), np.asarray(other_b))
+
+    def test_alpha_rescaling(self):
+        from aid_tpu.models.params import merge_lora
+
+        cfg = configs.TINY_UNET
+        unet = UNet2DCondition(cfg)
+        s = cfg.sample_size
+        params = unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)), jnp.array(0),
+            jnp.zeros((1, 7, cfg.cross_attention_dim)),
+        )
+        inner = cfg.block_out_channels[-1]  # mid block channels
+        rng = np.random.default_rng(1)
+        r = 4
+        stem = "unet.mid_block.attentions.0.transformer_blocks.0.attn2.to_out.0"
+        sd = {
+            f"{stem}.lora_A.weight": rng.normal(size=(r, inner)).astype(np.float32),
+            f"{stem}.lora_B.weight": rng.normal(size=(inner, r)).astype(np.float32),
+            f"{stem}.alpha": np.float32(8.0),
+        }
+        merged = merge_lora(params, sd, scale=1.0)
+        base = params["params"]["mid_block_attentions_0"]["transformer_blocks_0"]["attn2"]["to_out_0"]["kernel"]
+        new = merged["params"]["mid_block_attentions_0"]["transformer_blocks_0"]["attn2"]["to_out_0"]["kernel"]
+        A, B = sd[f"{stem}.lora_A.weight"], sd[f"{stem}.lora_B.weight"]
+        want = np.asarray(base) + (8.0 / r) * (B @ A).T
+        np.testing.assert_allclose(np.asarray(new), want, rtol=1e-5)
