@@ -337,3 +337,41 @@ def merge_lora(params: Dict, lora_state_dict: Dict[str, Any], scale: float = 1.0
         else:  # conv 1x1 LoRA: (out, in, 1, 1) -> HWIO
             node["kernel"] = kernel + delta.reshape(*delta.shape, 1, 1).transpose(2, 3, 1, 0).astype(kernel.dtype)
     return out
+
+
+def load_textual_inversion(text_params: Dict, tokenizer, checkpoint, token: Optional[str] = None) -> Dict:
+    """Load a textual-inversion embedding (reference TextualInversionLoaderMixin,
+    pipeline_interpolated_sd.py:283-289).
+
+    ``checkpoint``: dict in either diffusers format {token: (n, dim)} or
+    A1111 format {'string_to_param': {'*': (n, dim)}, 'name': ...}, or a
+    path to a .safetensors file containing one tensor.
+    Appends rows to the token embedding table and registers the placeholder
+    with the tokenizer (requires tokenizer.add_tokens). Returns
+    (new_params, n_added) — rebuild the text encoder with vocab_size grown
+    by n_added (flax nn.Embed validates the table against the config).
+    """
+    import copy
+
+    if isinstance(checkpoint, str):
+        flat = load_safetensors(checkpoint)
+        checkpoint = flat
+
+    if "string_to_param" in checkpoint:  # A1111
+        embedding = _to_numpy(checkpoint["string_to_param"]["*"])
+        token = token or checkpoint.get("name", "<concept>")
+    else:
+        if token is None:
+            token = next(iter(checkpoint.keys()))
+        embedding = _to_numpy(checkpoint[token])
+    if embedding.ndim == 1:
+        embedding = embedding[None]
+
+    out = copy.deepcopy(text_params)
+    table = np.asarray(out["params"]["token_embedding"]["embedding"])
+    n_new = embedding.shape[0]
+    new_ids = list(range(table.shape[0], table.shape[0] + n_new))
+    out["params"]["token_embedding"]["embedding"] = np.concatenate(
+        [table, embedding.astype(table.dtype)], axis=0)
+    tokenizer.add_tokens(token, new_ids)
+    return out, n_new

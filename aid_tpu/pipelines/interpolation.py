@@ -188,6 +188,20 @@ class InterpolationPipeline:
         self.image_encoder_params = image_encoder_params
         return self
 
+    def load_textual_inversion(self, checkpoint, token: Optional[str] = None):
+        """Load a textual-inversion embedding into the text encoder
+        (reference TextualInversionLoaderMixin surface)."""
+        from aid_tpu.models.clip import CLIPTextModel
+        from aid_tpu.models.params import load_textual_inversion
+
+        self.text_params, n_added = load_textual_inversion(
+            self.text_params, self.tokenizer, checkpoint, token)
+        cfg = dataclasses.replace(
+            self.text_encoder.config,
+            vocab_size=self.text_encoder.config.vocab_size + n_added)
+        self.text_encoder = CLIPTextModel(cfg, dtype=self.text_encoder.dtype)
+        return self
+
     def encode_image(self, images) -> jnp.ndarray:
         """Images (N,H,W,3) -> CLIP image embeds (N, D) via the attached
         image encoder (reference encode_image, sd:661-692)."""

@@ -64,6 +64,8 @@ class CLIPBPETokenizer:
     def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77):
         with open(vocab_path) as f:
             self.encoder = json.load(f)
+        #: placeholder tokens added by textual inversion: str -> [ids]
+        self.added_tokens = {}
         with open(merges_path, encoding="utf-8") as f:
             merges = f.read().split("\n")
         # first line is a version header in HF-format merges.txt
@@ -98,21 +100,33 @@ class CLIPBPETokenizer:
         self.cache[token] = list(word)
         return list(word)
 
+    def add_tokens(self, token: str, ids) -> None:
+        """Register a textual-inversion placeholder mapping to id(s)."""
+        self.added_tokens[token.lower()] = list(ids)
+
     def __call__(self, text: str) -> np.ndarray:
         import re
 
         text = html.unescape(html.unescape(text)).strip().lower()
-        pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False
-            else r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+"
-        )
+        if self.added_tokens:
+            # split out placeholder tokens before BPE
+            pattern = "(" + "|".join(re.escape(t) for t in self.added_tokens) + ")"
+            segments = [seg for seg in re.split(pattern, text) if seg]
+        else:
+            segments = [text]
+        # ASCII form of the CLIP tokenization regex (the original uses \p{L}
+        # unicode classes; prompts are lowercased ASCII after byte-encoding)
+        pat = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+")
         ids = [self.bos_id]
-        for tok in re.findall(pat, text):
-            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            for sub in self._bpe(tok):
-                if sub in self.encoder:
-                    ids.append(self.encoder[sub])
+        for seg in segments:
+            if seg in self.added_tokens:
+                ids.extend(self.added_tokens[seg])
+                continue
+            for tok in re.findall(pat, seg):
+                tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+                for sub in self._bpe(tok):
+                    if sub in self.encoder:
+                        ids.append(self.encoder[sub])
         ids = ids[: self.max_length - 1]
         ids.append(self.eos_id)
         ids += [self.eos_id] * (self.max_length - len(ids))
