@@ -17,6 +17,7 @@ import dataclasses
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from aid_tpu.ops.attention import AttnMode, dispatch_attention, interpolated_attention
@@ -186,6 +187,11 @@ class CrossAttention(nn.Module):
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"  # "auto" | "flash" (Pallas) | "xla" (jnp)
+    # shard_map mode: name of the mesh axis the FRAME dimension is sharded
+    # over. Endpoint K/V (global frames 0 / N-1) are fetched with an
+    # all_gather of each shard's boundary rows — the tiny per-layer
+    # collective mandated by SURVEY.md §5.8.
+    frame_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden, encoder_hidden=None, aid: Optional[AidContext] = None):
@@ -230,10 +236,27 @@ class CrossAttention(nn.Module):
             cond_skip = ((row == 0) & (c == 0.0)) | ((row == n_cond - 1) & (c == 1.0))
             return jnp.where(row < n_cond, cond_skip, True)
 
+        def global_endpoints(x):
+            """Sharded frames: global row 0 lives on shard 0, row N-1 on the
+            last shard; gather both boundary rows (2 x H x S x D per layer
+            over ICI)."""
+            first = jax.lax.all_gather(x[0:1], self.frame_axis)  # (dp, 1, ...)
+            last = jax.lax.all_gather(x[-1:], self.frame_axis)
+            return first[0, 0], last[-1, 0]  # 3D endpoints, shared across rows
+
         eps = {}
         skip = None
         if aid is not None and mode != AttnMode.SELF:
-            if aid.mode.cfg_split:
+            if self.frame_axis is not None:
+                assert not aid.mode.cfg_split, "batched CFG not supported under frame sharding"
+                kb, ke = global_endpoints(k)
+                vb, ve = global_endpoints(v)
+                eps = dict(k_begin=kb, v_begin=vb, k_end=ke, v_end=ve)
+                b_local = k.shape[0]
+                dp = jax.lax.psum(1, self.frame_axis)
+                grow = jax.lax.axis_index(self.frame_axis) * b_local + jnp.arange(b_local)
+                skip = ((grow == 0) & (coef == 0.0)) | ((grow == dp * b_local - 1) & (coef == 1.0))
+            elif aid.mode.cfg_split:
                 n = aid.mode.cfg_split
                 kb, ke = per_row_endpoints(k, n)
                 vb, ve = per_row_endpoints(v, n)
@@ -310,16 +333,19 @@ class BasicTransformerBlock(nn.Module):
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
+    frame_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim, has_ip=False,
                                dtype=self.dtype, attention_backend=self.attention_backend,
+                               frame_axis=self.frame_axis,
                                name="attn1")(h, None, aid)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + CrossAttention(self.num_heads, self.head_dim, self.dim, has_ip=self.has_ip,
                                dtype=self.dtype, attention_backend=self.attention_backend,
+                               frame_axis=self.frame_axis,
                                name="attn2")(h, encoder_hidden, aid)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
@@ -337,6 +363,7 @@ class Transformer2D(nn.Module):
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
+    frame_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):
@@ -354,6 +381,7 @@ class Transformer2D(nn.Module):
             x = BasicTransformerBlock(
                 self.num_heads, self.head_dim, inner, has_ip=self.has_ip,
                 dtype=self.dtype, attention_backend=self.attention_backend,
+                frame_axis=self.frame_axis,
                 name=f"transformer_blocks_{i}",
             )(x, encoder_hidden, aid)
         if self.use_linear_projection:

@@ -39,6 +39,8 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"  # "auto" | "flash" (Pallas) | "xla" (jnp)
+    # mesh axis name the frame dim is sharded over (shard_map mode)
+    frame_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -88,6 +90,7 @@ class UNet2DCondition(nn.Module):
                 has_ip=cfg.ip_num_tokens > 0,
                 dtype=self.dtype,
                 attention_backend=self.attention_backend,
+                frame_axis=self.frame_axis,
                 name=name,
             )
 
@@ -124,6 +127,7 @@ class UNet2DCondition(nn.Module):
             has_ip=cfg.ip_num_tokens > 0,
             dtype=self.dtype,
             attention_backend=self.attention_backend,
+            frame_axis=self.frame_axis,
             name="mid_block_attentions_0",
         )(h, encoder_hidden_states, aid)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,

@@ -6,6 +6,7 @@ from aid_tpu.parallel.mesh import (
     replicated,
     shard_params,
     shard_frames,
+    sharded_denoise_sequence,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "replicated",
     "shard_params",
     "shard_frames",
+    "sharded_denoise_sequence",
 ]

@@ -82,6 +82,79 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def sharded_denoise_sequence(
+    mesh: Mesh,
+    unet,
+    scheduler,
+    params,
+    latents,
+    embs,
+    uncond_embs,
+    coef,
+    sched_state,
+    guidance_scale,
+    *,
+    early,
+    late,
+    num_steps: int,
+    warmup_steps: int,
+    **kwargs,
+):
+    """Run the full denoise loop under shard_map with frames sharded.
+
+    The explicit-SPMD twin of engine.denoise_sequence: each shard owns a
+    contiguous slice of frames; every attention layer fetches the global
+    endpoint K/V (frames 0 and N-1) with a 2-row all_gather over ICI
+    (models.layers.CrossAttention frame_axis mode). This path supports the
+    Pallas flash kernel multi-chip — GSPMD cannot partition pallas_call,
+    but inside shard_map the kernel runs per shard on local frames.
+
+    Params are replicated; latents/embs/coef are sharded on the frame axis
+    (frame count must divide the data-axis size).
+    """
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+
+    from aid_tpu.pipelines import engine
+
+    unet_sh = unet.clone(frame_axis=DATA_AXIS)
+    dp = mesh.shape[DATA_AXIS]
+    assert latents.shape[0] % dp == 0, "frames must divide the data axis"
+
+    fn = functools.partial(
+        engine.denoise_sequence,
+        unet_sh,
+        scheduler,
+        early=early,
+        late=late,
+        num_steps=num_steps,
+        warmup_steps=warmup_steps,
+        **kwargs,
+    )
+
+    frame_spec = lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    # scheduler-state leaves that are latent-shaped (multistep history
+    # buffers) shard with the frames; small 1-D schedule arrays replicate
+    state_specs = jax.tree_util.tree_map(
+        lambda x: frame_spec(x) if getattr(x, "ndim", 0) >= 4 else P(), sched_state
+    )
+    in_specs = (
+        jax.tree_util.tree_map(lambda _: P(), params),
+        frame_spec(latents),
+        frame_spec(embs),
+        frame_spec(uncond_embs),
+        P(DATA_AXIS),
+        state_specs,
+        P(),
+    )
+    out_specs = frame_spec(latents)
+
+    return shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False,
+    )(params, latents, embs, uncond_embs, coef, sched_state, guidance_scale)
+
+
 def shard_frames(tree, mesh: Mesh):
     """Place activation arrays with the frame axis sharded over data."""
     def place(leaf):

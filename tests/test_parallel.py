@@ -92,3 +92,42 @@ def test_tp_param_layout(pipe):
         if "to_out_0/kernel" in names and len(spec) and spec[0] == "model":
             n_row += 1
     assert n_col > 0 and n_row > 0, "TP sharding specs not applied"
+
+
+def test_shard_map_matches_single_device(pipe):
+    """Explicit-SPMD path (shard_map + per-layer endpoint all_gather) must
+    match the unsharded run — validates the multi-chip flash-kernel design
+    on the CPU mesh (xla attention path here; the kernel takes the same
+    explicit 3D endpoints, covered by interpret-mode tests)."""
+    from aid_tpu.parallel import make_mesh, sharded_denoise_sequence
+
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    ref = np.asarray(_run(pipe, latents, embs, uncond, coef, state))
+
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    mesh = make_mesh(dp=8, tp=1)
+    out = np.asarray(sharded_denoise_sequence(
+        mesh, pipe.unet, pipe.scheduler, pipe.unet_params,
+        latents, embs, uncond, coef, state, jnp.float32(7.5),
+        early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+        num_steps=2, warmup_steps=1,
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_map_endpoint_collective_semantics(pipe):
+    """4-way sharding with 2 frames per shard: endpoints must be GLOBAL
+    frames 0/7, not each shard's local boundary."""
+    from aid_tpu.parallel import make_mesh, sharded_denoise_sequence
+
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    ref = np.asarray(_run(pipe, latents, embs, uncond, coef, state))
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe)
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    out = np.asarray(sharded_denoise_sequence(
+        mesh, pipe.unet, pipe.scheduler, pipe.unet_params,
+        latents, embs, uncond, coef, state, jnp.float32(7.5),
+        early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+        num_steps=2, warmup_steps=1,
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
