@@ -110,26 +110,29 @@ class UNet2DCondition(nn.Module):
                                  name=f"down_blocks_{level}_downsamplers_0")(h)
                 skips.append(h)
 
-        # 4. mid block (resnet -> [attn -> resnet])
+        # 4. mid block (resnet -> [attn -> resnet]); attention-free configs
+        # (UNet2DModel-style) skip the mid transformer entirely
         top = cfg.num_levels - 1
-        mid_level = top if cfg.cross_attention_levels[top] else next(
-            i for i in reversed(range(cfg.num_levels)) if cfg.cross_attention_levels[i]
-        )
+        has_any_cross = any(cfg.cross_attention_levels)
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
                           name="mid_block_resnets_0")(h, emb)
-        h = Transformer2D(
-            num_heads=cfg.num_attention_heads[mid_level],
-            head_dim=mid_ch // cfg.num_attention_heads[mid_level],
-            num_layers=max(cfg.transformer_layers_per_block[mid_level], 1),
-            norm_num_groups=cfg.norm_num_groups,
-            use_linear_projection=cfg.use_linear_projection,
-            has_ip=cfg.ip_num_tokens > 0,
-            dtype=self.dtype,
-            attention_backend=self.attention_backend,
-            frame_axis=self.frame_axis,
-            name="mid_block_attentions_0",
-        )(h, encoder_hidden_states, aid)
+        if has_any_cross:
+            mid_level = top if cfg.cross_attention_levels[top] else next(
+                i for i in reversed(range(cfg.num_levels)) if cfg.cross_attention_levels[i]
+            )
+            h = Transformer2D(
+                num_heads=cfg.num_attention_heads[mid_level],
+                head_dim=mid_ch // cfg.num_attention_heads[mid_level],
+                num_layers=max(cfg.transformer_layers_per_block[mid_level], 1),
+                norm_num_groups=cfg.norm_num_groups,
+                use_linear_projection=cfg.use_linear_projection,
+                has_ip=cfg.ip_num_tokens > 0,
+                dtype=self.dtype,
+                attention_backend=self.attention_backend,
+                frame_axis=self.frame_axis,
+                name="mid_block_attentions_0",
+            )(h, encoder_hidden_states, aid)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
                           name="mid_block_resnets_1")(h, emb)
 

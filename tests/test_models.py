@@ -164,3 +164,21 @@ class TestFourierFilter:
         x = jnp.ones((1, 8, 8, 1))  # pure DC
         y = fourier_filter(x, threshold=1, scale=0.0)
         np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-5)
+
+
+def test_attention_free_config_runs():
+    """UNet2DModel-style configs (no cross attention anywhere) must build
+    and run (mid block skips its transformer)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        configs.TINY_UNET, cross_attention_levels=(False, False),
+        transformer_layers_per_block=(0, 0),
+    )
+    model = UNet2DCondition(cfg)
+    s = cfg.sample_size
+    x = jnp.zeros((1, s, s, 4))
+    e = jnp.zeros((1, 7, cfg.cross_attention_dim))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.array(0), e)
+    out = model.apply(params, x, jnp.array(0), e)
+    assert out.shape == x.shape
