@@ -92,6 +92,11 @@ class AidContext:
     mode: AidMode = AidMode()
     ip_hidden_states: Optional[jnp.ndarray] = None
     ip_scale: float = 1.0
+    # Traced scalar bool: when True, every row's endpoint segments are
+    # forced no-ops, reducing fused modes EXACTLY to vanilla attention.
+    # Lets the denoise engine trace ONE UNet for both warmup and late
+    # phases (the warmup cutoff becomes a traced predicate).
+    force_vanilla: Optional[jnp.ndarray] = None
 
 
 def timestep_embedding(
@@ -244,6 +249,8 @@ class CrossAttention(nn.Module):
             last = jax.lax.all_gather(x[-1:], self.frame_axis)
             return first[0, 0], last[-1, 0]  # 3D endpoints, shared across rows
 
+        force = aid.force_vanilla if aid is not None else None
+
         eps = {}
         skip = None
         if aid is not None and mode != AttnMode.SELF:
@@ -264,10 +271,13 @@ class CrossAttention(nn.Module):
                 skip = skip_mask(coef, n)
             else:
                 skip = skip_mask(coef, k.shape[0])
+            if force is not None:
+                skip = jnp.logical_or(skip, force)
 
         out = dispatch_attention(
             q, k, v, coef if coef is not None else jnp.zeros((q.shape[0],)),
-            mode, backend=self.attention_backend, skip_endpoints=skip, **eps,
+            mode, backend=self.attention_backend, skip_endpoints=skip,
+            force_vanilla=force if mode != AttnMode.SELF else None, **eps,
         )
 
         # IP-Adapter branch: cross-attention layers only
@@ -286,13 +296,19 @@ class CrossAttention(nn.Module):
             ip_k, ip_v = heads(ip_k), heads(ip_v)
             ip_mode = AttnMode.SELF if aid.mode.ip == "own" else AttnMode(aid.mode.ip)
             ip_eps = {}
+            ip_skip = None
             if aid.mode.cfg_split and ip_mode != AttnMode.SELF:
                 n = aid.mode.cfg_split
                 ikb, ike = per_row_endpoints(ip_k, n)
                 ivb, ive = per_row_endpoints(ip_v, n)
                 ip_eps = dict(k_begin=ikb, v_begin=ivb, k_end=ike, v_end=ive)
+            if force is not None and ip_mode != AttnMode.SELF:
+                ip_skip = jnp.broadcast_to(force, (q.shape[0],))
             ip_out = dispatch_attention(q, ip_k, ip_v, aid.coef, ip_mode,
-                                        backend=self.attention_backend, **ip_eps)
+                                        backend=self.attention_backend,
+                                        skip_endpoints=ip_skip,
+                                        force_vanilla=force if ip_mode != AttnMode.SELF else None,
+                                        **ip_eps)
             if aid.mode.ip_coef_scaled:
                 w = aid.coef.astype(jnp.float32).reshape(-1, 1, 1, 1)
                 out = (out.astype(jnp.float32) + w * ip_out.astype(jnp.float32)).astype(out.dtype)

@@ -98,6 +98,7 @@ def dispatch_attention(
     q, k, v, coef, mode,
     k_begin=None, v_begin=None, k_end=None, v_end=None,
     scale=None, backend: str = "auto", skip_endpoints=None,
+    force_vanilla=None,
 ):
     """Route to the Pallas flash kernel or the jnp reference path.
 
@@ -111,16 +112,22 @@ def dispatch_attention(
     if resolve_backend(backend) == "flash" and k.shape[-2] >= 512:
         from aid_tpu.ops.flash_attention import flash_interpolated_attention
 
+        # force_vanilla is folded into skip_endpoints by the caller for the
+        # kernel path (skipping every endpoint segment IS vanilla attention)
         return flash_interpolated_attention(
             q, k, v, coef, mode,
             k_begin=k_begin, v_begin=v_begin, k_end=k_end, v_end=v_end,
             scale=scale, skip_endpoints=skip_endpoints,
         )
-    return interpolated_attention(
+    out = interpolated_attention(
         q, k, v, coef, mode,
         k_begin=k_begin, v_begin=v_begin, k_end=k_end, v_end=v_end,
         scale=scale,
     )
+    if force_vanilla is not None and AttnMode(mode) != AttnMode.SELF:
+        # xla path cannot skip compute; select the vanilla result instead
+        out = jnp.where(force_vanilla, _softmax_attn(q, k, v, scale or q.shape[-1] ** -0.5), out)
+    return out
 
 
 def interpolated_attention(

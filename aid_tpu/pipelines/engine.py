@@ -51,6 +51,7 @@ def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray, guid
         "guidance_rescale",
         "eta",
         "cfg_mode",
+        "loop_mode",
     ),
     donate_argnames=("latents",),
 )
@@ -77,6 +78,7 @@ def denoise_sequence(
     added_cond: Optional[dict] = None,  # SDXL cond dict
     noise_rng: Optional[jax.Array] = None,
     cfg_mode: str = "sequential",  # "sequential" (reference structure) | "batched"
+    loop_mode: str = "auto",  # "auto" | "split" | "fused"
 ) -> jnp.ndarray:
     """Run the full warmup-split CFG denoise loop; returns final latents.
 
@@ -86,6 +88,14 @@ def denoise_sequence(
     endpoints, uncond rows carry their own K/V as both endpoints — which
     reduces every AID mode exactly to vanilla attention — mathematically
     identical output with half the weight HBM traffic per step.
+
+    loop_mode="split" traces the warmup and late phases as two fori_loops
+    (two cond-UNet traces). loop_mode="fused" traces ONE loop whose warmup
+    cutoff is a traced predicate: late steps run the fused kernel with all
+    endpoint segments force-skipped, which is EXACTLY vanilla attention —
+    halving trace/compile cost. "auto" picks fused when early is a fused
+    mode, late is the deactivated processor, and the Pallas backend is
+    active (the xla fallback would compute both branches per step).
     """
 
     uncond_mode = AidMode(
@@ -99,10 +109,11 @@ def denoise_sequence(
     if uncond_mode.ip is not None:
         uncond_mode = AidMode(text=AidMode.vanilla().text, ip="own", ip_coef_scaled=early.ip_coef_scaled)
 
-    def make_aid(mode: AidMode, ip_states, c) -> Optional[AidContext]:
+    def make_aid(mode: AidMode, ip_states, c, force=None) -> Optional[AidContext]:
         if mode.text == AidMode.vanilla().text and mode.ip is None:
             return None
-        return AidContext(coef=c, mode=mode, ip_hidden_states=ip_states, ip_scale=ip_scale)
+        return AidContext(coef=c, mode=mode, ip_hidden_states=ip_states,
+                          ip_scale=ip_scale, force_vanilla=force)
 
     if cfg_mode == "batched":
         N = latents.shape[0]
@@ -116,18 +127,18 @@ def denoise_sequence(
         if added_cond is not None:
             added_all = {k: jnp.concatenate([v, v], axis=0) for k, v in added_cond.items()}
 
-    def unet_noise(latent_in, t, mode: AidMode):
+    def unet_noise(latent_in, t, mode: AidMode, force=None):
         if cfg_mode == "batched":
             aid_mode = AidMode(text=mode.text, ip=mode.ip,
                                ip_coef_scaled=mode.ip_coef_scaled, cfg_split=N)
             out = unet.apply(
                 params, jnp.concatenate([latent_in, latent_in], axis=0), t,
-                embs_all, make_aid(aid_mode, ip_all, coef_all), added_all,
+                embs_all, make_aid(aid_mode, ip_all, coef_all, force), added_all,
             )
             return out[:N], out[N:]
         noise_text = unet.apply(
             params, latent_in, t, embs,
-            make_aid(mode, ip_embeds, coef), added_cond,
+            make_aid(mode, ip_embeds, coef, force), added_cond,
         )
         noise_uncond = unet.apply(
             params, latent_in, t, uncond_embs,
@@ -135,12 +146,12 @@ def denoise_sequence(
         )
         return noise_text, noise_uncond
 
-    def step_fn(i, carry, mode: AidMode):
+    def step_fn(i, carry, mode: AidMode, force_vanilla=None):
         latents, state = carry
         t = state.timesteps[i]
         latent_in = scheduler.scale_model_input(state, latents, i)
 
-        noise_text, noise_uncond = unet_noise(latent_in, t, mode)
+        noise_text, noise_uncond = unet_noise(latent_in, t, mode, force_vanilla)
         noise = noise_uncond + guidance_scale * (noise_text - noise_uncond)
         if guidance_rescale > 0.0:
             noise = rescale_noise_cfg(noise, noise_text, guidance_rescale)
@@ -148,15 +159,38 @@ def denoise_sequence(
         latents, state = scheduler.step(state, noise, i, latents, eta=eta, noise_rng=rng_i)
         return latents, state
 
+    def can_fuse_loop() -> bool:
+        from aid_tpu.ops.attention import resolve_backend
+
+        if cfg_mode != "sequential":
+            return False
+        if not early.text.is_fused or late.text != AidMode.vanilla().text:
+            return False
+        if late.ip not in (None, "own") or late.ip_coef_scaled != early.ip_coef_scaled:
+            return False
+        try:
+            backend = getattr(unet, "attention_backend", "auto")
+        except AttributeError:
+            backend = "auto"
+        return resolve_backend(backend) == "flash"
+
+    use_fused = loop_mode == "fused" or (loop_mode == "auto" and can_fuse_loop())
+
     carry = (latents, sched_state)
-    if warmup_steps > 0:
-        carry = jax.lax.fori_loop(
-            0, warmup_steps, lambda i, c: step_fn(i, c, early), carry
-        )
-    if warmup_steps < num_steps:
-        carry = jax.lax.fori_loop(
-            warmup_steps, num_steps, lambda i, c: step_fn(i, c, late), carry
-        )
+    if use_fused:
+        def fused_step(i, c):
+            return step_fn(i, c, early, force_vanilla=i >= warmup_steps)
+
+        carry = jax.lax.fori_loop(0, num_steps, fused_step, carry)
+    else:
+        if warmup_steps > 0:
+            carry = jax.lax.fori_loop(
+                0, warmup_steps, lambda i, c: step_fn(i, c, early), carry
+            )
+        if warmup_steps < num_steps:
+            carry = jax.lax.fori_loop(
+                warmup_steps, num_steps, lambda i, c: step_fn(i, c, late), carry
+            )
     return carry[0]
 
 

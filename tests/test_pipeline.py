@@ -142,3 +142,38 @@ class TestBatchedCFG:
         seq = pipe.interpolate(l0, l1, "a", "b", size=4, num_inference_steps=2)
         bat = batched_pipe.interpolate(l0, l1, "a", "b", size=4, num_inference_steps=2)
         np.testing.assert_allclose(bat.astype(int), seq.astype(int), atol=1)
+
+
+class TestFusedLoop:
+    def test_fused_loop_matches_split(self, pipe):
+        """loop_mode='fused' (single trace, warmup cutoff as a traced
+        predicate via force-skipped endpoint segments) must equal the
+        two-phase split loop. CPU runs the xla select path; the kernel path
+        relies on the skip-exactness identity tested in interpret mode."""
+        from aid_tpu.models.layers import AidMode
+        from aid_tpu.pipelines import engine
+        import jax
+
+        l0, l1 = pipe.generate_latent(0), pipe.generate_latent(1)
+        from aid_tpu.ops.interp import spherical_interpolation, linear_interpolation
+
+        latents = spherical_interpolation(l0, l1, 4)
+        emb_s, un_s = pipe.encode_prompt("a cat")
+        emb_e, un_e = pipe.encode_prompt("a dog")
+        embs = linear_interpolation(emb_s, emb_e, size=4)
+        uncond = linear_interpolation(un_s, un_e, size=4)
+        coef = jnp.array([0.0, 0.3, 0.7, 1.0])
+
+        def run(loop_mode):
+            state = pipe.scheduler.init(4)
+            lat = spherical_interpolation(l0, l1, 4)
+            return np.asarray(engine.denoise_sequence(
+                pipe.unet, pipe.scheduler, pipe.unet_params,
+                lat, embs, uncond, coef, state, jnp.float32(7.5),
+                early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+                num_steps=4, warmup_steps=2, loop_mode=loop_mode,
+            ))
+
+        split = run("split")
+        fused = run("fused")
+        np.testing.assert_allclose(fused, split, rtol=1e-4, atol=1e-4)
