@@ -16,9 +16,6 @@ raises a clear error. Run: python -m aid_tpu.apps.gradio_app /path/to/ckpt
 from __future__ import annotations
 
 import sys
-from typing import Optional
-
-import numpy as np
 
 try:
     import gradio as gr

@@ -15,10 +15,9 @@ before calling LPIPS (utils.py:126-127) — compute_lpips replicates that.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import List
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,7 +12,7 @@ cross-attention tokens, and the container tying scale/num_tokens together.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

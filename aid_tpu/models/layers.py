@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from aid_tpu.ops.attention import AttnMode, dispatch_attention, interpolated_attention
+from aid_tpu.ops.attention import AttnMode, dispatch_attention
 
 
 @dataclasses.dataclass(frozen=True)

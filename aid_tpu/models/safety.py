@@ -11,7 +11,7 @@ skip the check (matching the reference's safety_checker=None path).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ compute dtype is configurable (bf16 recommended on TPU).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

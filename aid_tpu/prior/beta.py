@@ -17,7 +17,7 @@ built, with this pure-Python implementation as fallback.
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 from scipy.optimize import curve_fit

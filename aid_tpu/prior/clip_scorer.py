@@ -8,7 +8,6 @@ jnp too, so scoring a candidate frame is a single device call.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

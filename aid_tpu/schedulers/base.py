@@ -11,8 +11,6 @@ pipeline_interpolated_sd.py:1905).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
-
 import numpy as np
 
 

@@ -9,8 +9,6 @@ random-weight benchmarking.
 
 from __future__ import annotations
 
-import functools
-import gzip
 import html
 import json
 import os
