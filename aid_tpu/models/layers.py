@@ -208,6 +208,10 @@ class CrossAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv_src)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv_src)
 
+        # NOTE: a no-transpose (B,S,H,D) kernel layout was evaluated and
+        # rejected: Mosaic requires the last two block dims be (div 8, div
+        # 128) or match the array, which forbids head-sliced blocks; see
+        # PERF.md "Next optimization candidates".
         def heads(x):  # (B, S, H*D) -> (B, H, S, D)
             b, s, _ = x.shape
             return x.reshape(b, s, self.num_heads, self.head_dim).transpose(0, 2, 1, 3)

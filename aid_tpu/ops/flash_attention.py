@@ -79,13 +79,16 @@ def _kernel(
     bq, Dp = q_ref.shape[2], q_ref.shape[3]
     two_sets = mode.is_outer
 
+    def read(ref):
+        return ref[0, 0]
+
     @pl.when(j == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]
+    q = read(q_ref)
     base = j * block_k
 
     # phase of this block in the packed stream and its valid end column
@@ -102,12 +105,12 @@ def _kernel(
     @pl.when(active)
     def _compute():
         s = jax.lax.dot_general(
-            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            q, read(k_ref), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         s = jnp.where(col + base < valid, s, NEG_INF)
-        v_blk = v_ref[0, 0]
+        v_blk = read(v_ref)
 
         def update(idx):
             m_old = m_ref[idx, :, :1]
@@ -177,8 +180,12 @@ def flash_interpolated_attention(
     interpolation.py:627-630).
     """
     mode = AttnMode(mode)
+    # NOTE: a no-transpose (B,S,H,D) layout was evaluated and rejected —
+    # Mosaic forbids head-sliced blocks (last two block dims must be
+    # (div 8, div 128) or match the array); see PERF.md.
     B, H, Sq, D = q.shape
     Lk = k.shape[2]
+    seq_ax, ep_seq_ax = 2, -2
     if scale is None:
         scale = D ** -0.5
     if coef is None:
@@ -190,7 +197,7 @@ def flash_interpolated_attention(
         k_begin, v_begin = k[0], v[0]
     if k_end is None:
         k_end, v_end = k[-1], v[-1]
-    Le = k_begin.shape[-2]
+    Le = k_begin.shape[ep_seq_ax]
 
     Dp = _ceil_to(D, LANES)
     block_q = min(block_q, _ceil_to(Sq, LANES))
@@ -205,19 +212,19 @@ def flash_interpolated_attention(
         pads[-1] = (0, Dp - D)
         return jnp.pad(x, pads)
 
-    qp = pad(q, 2, Sqp)
+    qp = pad(q, seq_ax, Sqp)
 
     # ---- pack the per-frame KV stream: [own | begin | end] / [own | cross]
     cf = coef.astype(jnp.float32)
     include_self = mode in (AttnMode.SELF, AttnMode.FUSED_OUTER, AttnMode.FUSED_INNER)
     segs_k, segs_v = [], []
     if include_self:
-        segs_k.append(pad(k, 2, Lkp))
-        segs_v.append(pad(v, 2, Lkp))
+        segs_k.append(pad(k, seq_ax, Lkp))
+        segs_v.append(pad(v, seq_ax, Lkp))
     n_self = Lkp // block_k if include_self else 0
 
-    def tile(x):  # (H,Le,D) or per-row (B,H,Le,D) -> padded (B,H,Lep,Dp)
-        x = pad(x, x.ndim - 2, Lep)
+    def tile(x):  # shared 3D or per-row 4D endpoint -> padded (B, H, Lep, Dp)
+        x = pad(x, x.ndim + ep_seq_ax, Lep)
         if x.ndim == 3:
             x = jnp.broadcast_to(x[None], (B, H, Lep, Dp))
         return x
@@ -236,8 +243,8 @@ def flash_interpolated_attention(
     else:
         n_begin = n_end = 0
 
-    kv_k = segs_k[0] if len(segs_k) == 1 else jnp.concatenate(segs_k, axis=2)
-    kv_v = segs_v[0] if len(segs_v) == 1 else jnp.concatenate(segs_v, axis=2)
+    kv_k = segs_k[0] if len(segs_k) == 1 else jnp.concatenate(segs_k, axis=seq_ax)
+    kv_v = segs_v[0] if len(segs_v) == 1 else jnp.concatenate(segs_v, axis=seq_ax)
     n_steps = n_self + n_begin + n_end
 
     # absolute valid end columns per phase in the packed stream
@@ -257,15 +264,15 @@ def flash_interpolated_attention(
         n_steps=n_steps,
     )
 
+    q_spec = pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, Dp), lambda b, h, i, j, *_: (b, h, j, 0))
+    out_shape = (B, H, Sqp, Dp)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, H, Sqp // block_q, n_steps),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, Dp), lambda b, h, i, j, *_: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k, Dp), lambda b, h, i, j, *_: (b, h, j, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0)),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
         scratch_shapes=[
             pltpu.VMEM((2, block_q, LANES), jnp.float32),
             pltpu.VMEM((2, block_q, LANES), jnp.float32),
@@ -291,7 +298,7 @@ def flash_interpolated_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         compiler_params=compiler_params,
         interpret=interpret,
     )(lens, cf, skip, qp, kv_k, kv_v)

@@ -118,3 +118,25 @@ def test_skip_endpoints_cfg_uncond_rows():
     # uncond rows must equal plain attention
     vanilla = attention(q[n:], k[n:], v[n:])
     np.testing.assert_allclose(np.asarray(out[n:]), np.asarray(vanilla), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_shapes(seed):
+    """Random shapes/modes/dtypes vs the jnp reference (interpret mode)."""
+    rng = np.random.default_rng(seed)
+    B = int(rng.integers(2, 7))
+    H = int(rng.integers(1, 4))
+    S = int(rng.integers(1, 200))
+    L = int(rng.integers(1, 200))
+    D = int(rng.choice([8, 40, 64, 96, 128]))
+    mode = str(rng.choice(MODES))
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
+    coef = jnp.asarray(np.sort(rng.uniform(0, 1, B)).astype(np.float32))
+    bq = int(rng.choice([128, 256]))
+    bk = int(rng.choice([128, 256]))
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(q, k, v, coef, mode, block_q=bq, block_k=bk, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4,
+                               err_msg=f"B{B} H{H} S{S} L{L} D{D} {mode} bq{bq} bk{bk}")
