@@ -2,6 +2,7 @@ from aid_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     make_mesh,
+    make_multislice_mesh,
     frame_sharding,
     replicated,
     shard_params,
@@ -13,6 +14,7 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "make_mesh",
+    "make_multislice_mesh",
     "frame_sharding",
     "replicated",
     "shard_params",

@@ -38,6 +38,29 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices: Optional[Sequence]
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_multislice_mesh(dp_dcn: int, dp_ici: Optional[int] = None, tp: int = 1) -> Mesh:
+    """Multi-slice mesh: frames data-parallel over DCN x ICI, TP inside a slice.
+
+    Axes ("dcn", "data", "model"): the outer frame axis crosses slices over
+    DCN (each slice denoises its own frame shard; the per-layer endpoint
+    gather is the only cross-slice traffic), the inner frame axis and TP
+    ride ICI. Uses mesh_utils.create_hybrid_device_mesh when running
+    multi-host; degenerates to a reshaped local mesh otherwise (CI/tests).
+    """
+    devices = jax.devices()
+    if dp_ici is None:
+        dp_ici = len(devices) // (dp_dcn * tp)
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (dp_ici, tp), dcn_mesh_shape=(dp_dcn, 1),
+        ).reshape(dp_dcn, dp_ici, tp)
+    except Exception:
+        arr = np.asarray(devices[: dp_dcn * dp_ici * tp]).reshape(dp_dcn, dp_ici, tp)
+    return Mesh(arr, ("dcn", DATA_AXIS, MODEL_AXIS))
+
+
 def frame_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading (frame) axis over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))

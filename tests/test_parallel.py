@@ -131,3 +131,12 @@ def test_shard_map_endpoint_collective_semantics(pipe):
         num_steps=2, warmup_steps=1,
     ))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_multislice_mesh_shape():
+    """Hybrid DCN x ICI mesh degenerates to a local reshape on one host."""
+    from aid_tpu.parallel import make_multislice_mesh
+
+    mesh = make_multislice_mesh(dp_dcn=2, dp_ici=2, tp=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.shape["dcn"] == 2 and mesh.shape["data"] == 2 and mesh.shape["model"] == 2
