@@ -75,7 +75,10 @@ def denoise_sequence(
     ip_embeds: Optional[jnp.ndarray] = None,  # (B, T, D) projected cond IP tokens
     ip_uncond_embeds: Optional[jnp.ndarray] = None,
     ip_scale: float = 1.0,
-    added_cond: Optional[dict] = None,  # SDXL cond dict
+    added_cond: Optional[dict] = None,  # SDXL cond dict (pooled embeds, time_ids)
+    added_cond_uncond: Optional[dict] = None,  # SDXL uncond dict (negative pooled
+    # embeds / negative time_ids; reference sdxl:2275-2293 uses these for the
+    # uncond pass). Defaults to added_cond when None.
     noise_rng: Optional[jax.Array] = None,
     cfg_mode: str = "sequential",  # "sequential" (reference structure) | "batched"
     loop_mode: str = "auto",  # "auto" | "split" | "fused"
@@ -118,6 +121,9 @@ def denoise_sequence(
         return AidContext(coef=c, mode=mode, ip_hidden_states=ip_states,
                           ip_scale=ip_scale, force_vanilla=force)
 
+    if added_cond is not None and added_cond_uncond is None:
+        added_cond_uncond = added_cond
+
     if cfg_mode == "batched":
         N = latents.shape[0]
         embs_all = jnp.concatenate([embs, uncond_embs], axis=0)
@@ -128,7 +134,10 @@ def denoise_sequence(
             ip_all = jnp.concatenate([ip_embeds, ipu], axis=0)
         added_all = None
         if added_cond is not None:
-            added_all = {k: jnp.concatenate([v, v], axis=0) for k, v in added_cond.items()}
+            added_all = {
+                k: jnp.concatenate([v, added_cond_uncond[k]], axis=0)
+                for k, v in added_cond.items()
+            }
 
     def unet_noise(latent_in, t, mode: AidMode, force=None):
         if cfg_mode == "batched":
@@ -145,7 +154,7 @@ def denoise_sequence(
         )
         noise_uncond = unet.apply(
             params, latent_in, t, uncond_embs,
-            make_aid(uncond_mode, ip_uncond_embeds, coef), added_cond,
+            make_aid(uncond_mode, ip_uncond_embeds, coef), added_cond_uncond,
         )
         return noise_text, noise_uncond
 

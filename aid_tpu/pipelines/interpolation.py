@@ -61,6 +61,10 @@ class InterpolationPipeline:
     # pipeline_interpolated_sd.py:950-951).
     default_early: str = "fused_outer"
     default_late: str = "self"
+    # Safety checker (reference runs it on every SD decode, sd:1939-1941;
+    # None = skip, matching the reference's safety_checker=None path).
+    safety_checker: Any = None
+    safety_params: Any = None
     # IP-Adapter attachments (None until load_aid_ip_adapter equivalent).
     ip_proj: Any = None
     ip_proj_params: Any = None
@@ -114,7 +118,20 @@ class InterpolationPipeline:
             latents_mean=cfg.latents_mean, latents_std=cfg.latents_std,
             per_frame=per_frame,
         )
-        return engine.to_uint8(images)
+        images = engine.to_uint8(images)
+        if self.safety_checker is not None:
+            images, _ = self.run_safety(images)
+        return images
+
+    def run_safety(self, images: np.ndarray):
+        """Apply the safety checker: returns (images-with-flagged-frames-
+        blacked-out, has_nsfw flags). The reference runs this on every SD
+        decode and returns the flags in its pipeline output (sd:1939-1963);
+        here the blackout is applied inline by _decode and callers needing
+        the flags call this explicitly."""
+        from aid_tpu.models.safety import run_safety_checker
+
+        return run_safety_checker(images, self.safety_checker, self.safety_params)
 
     def _project_ip(self, image_embeds: Optional[jnp.ndarray]):
         """CLIP image embeds (B, D) -> IP tokens (B, T, cross_dim)."""
@@ -230,6 +247,7 @@ class InterpolationPipeline:
         ip_image_embeds: Optional[jnp.ndarray] = None,
         ip_uncond_image_embeds: Optional[jnp.ndarray] = None,
         added_cond: Optional[dict] = None,
+        added_cond_uncond: Optional[dict] = None,
         output_type: str = "np",
         per_frame_decode: bool = False,
         num_run_steps: Optional[int] = None,  # denoising_end truncation
@@ -240,6 +258,13 @@ class InterpolationPipeline:
         latents = latents * sched_state.init_noise_sigma
         if num_run_steps is None:
             num_run_steps = num_inference_steps
+        # Early mode runs for steps i < warmup_steps, 0-based — matching the
+        # root pipelines (pipeline_interpolated_sd.py:1845 `i < warmup_step`
+        # with i starting at 0). NOTE the gradio pipelines increment i BEFORE
+        # the check (gradio_src/pipeline_interpolated_stable_diffusion.py:
+        # 271-282), so they run early for warmup_step-1 steps; we deliberately
+        # keep the root-pipeline convention for every entry point (one extra
+        # early-mode step vs the gradio-anchored interpolate()).
         warmup_steps = min(int(num_inference_steps * warmup_ratio), num_run_steps)
         early_mode, late_mode = self._aid_modes(early, late)
 
@@ -262,6 +287,7 @@ class InterpolationPipeline:
             ip_uncond_embeds=self._project_ip(ip_uncond_image_embeds),
             ip_scale=self.ip_scale,
             added_cond=added_cond,
+            added_cond_uncond=added_cond_uncond,
             cfg_mode=self.cfg_mode,
         )
         if output_type == "latent":
@@ -458,9 +484,10 @@ class InterpolationPipeline:
         (reference gradio :523-583)."""
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
-        emb1, _ = self.encode_prompt(text_1)
-        emb2, _ = self.encode_prompt(text_2)
-        uncond, _ = self.encode_prompt(negative_prompt)
+        # [:2] tolerates the SDXL subclass's (emb, neg, pooled, neg_pooled)
+        emb1, _ = self.encode_prompt(text_1)[:2]
+        emb2, _ = self.encode_prompt(text_2)[:2]
+        uncond, _ = self.encode_prompt(negative_prompt)[:2]
         n = latents.shape[0]
         emb1, emb2, uncond = (jnp.repeat(e, n, axis=0) for e in (emb1, emb2, uncond))
 
@@ -498,7 +525,7 @@ class InterpolationPipeline:
             guidance_scale = self.guidance_scale
         if latents is None:
             latents = self.generate_latent(seed, height, width)
-        emb, uncond = self.encode_prompt(prompt, negative_prompt)
+        emb, uncond = self.encode_prompt(prompt, negative_prompt)[:2]
         state = self.scheduler.init(num_inference_steps, latent_shape=latents.shape)
         latents = latents * state.init_noise_sigma
         final, _ = engine.denoise_range(

@@ -54,8 +54,9 @@ class InterpolationXLPipeline(InterpolationPipeline):
         return int(np.sum(np.asarray(state.timesteps) >= cutoff))
 
     def encode_prompt(self, prompt: str, negative_prompt: str = "", clip_skip: int = 0):
-        """Returns ((1,S,2048) embeds, uncond) and stashes pooled embeds in
-        self._last_pooled for the caller (SDXL pooled conditioning)."""
+        """Returns (emb, neg, pooled, neg_pooled): (1,S,2048) cond/uncond
+        embeds plus the pooled conditioning from encoder 2 for both
+        (reference encode_prompt, sdxl:644-870)."""
         def enc(text):
             ids1 = jnp.asarray(self.tokenizer(text))
             ids2 = jnp.asarray(self.tokenizer_2(text))
@@ -67,8 +68,7 @@ class InterpolationXLPipeline(InterpolationPipeline):
 
         emb, pooled = enc(prompt)
         neg, neg_pooled = enc(negative_prompt)
-        self._last_pooled = (pooled, neg_pooled)
-        return emb, neg
+        return emb, neg, pooled, neg_pooled
 
     def _time_ids(self, batch: int, height: int, width: int) -> jnp.ndarray:
         ids = jnp.array([height, width, 0, 0, height, width], jnp.float32)
@@ -103,27 +103,31 @@ class InterpolationXLPipeline(InterpolationPipeline):
         width = width or self.default_size
 
         latents = spherical_interpolation(latent_start, latent_end, size)
-        emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
-        pooled_s, neg_pooled = self._last_pooled
-        emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
-        pooled_e, _ = self._last_pooled
+        emb_s, un_s, pooled_s, neg_pooled_s = self.encode_prompt(prompt_start, negative_prompt)
+        emb_e, un_e, pooled_e, neg_pooled_e = self.encode_prompt(prompt_end, negative_prompt)
 
         if guide_prompt is not None:
-            emb_g, un_g = self.encode_prompt(guide_prompt, negative_prompt)
-            pooled_g, _ = self._last_pooled
+            emb_g, un_g, pooled_g, neg_pooled_g = self.encode_prompt(guide_prompt, negative_prompt)
             embs = jnp.concatenate([emb_s] + [emb_g] * (size - 2) + [emb_e], axis=0)
             uncond = jnp.concatenate([un_s] + [un_g] * (size - 2) + [un_e], axis=0)
             pooled = jnp.concatenate([pooled_s] + [pooled_g] * (size - 2) + [pooled_e], axis=0)
+            neg_pooled = jnp.concatenate(
+                [neg_pooled_s] + [neg_pooled_g] * (size - 2) + [neg_pooled_e], axis=0)
         else:
             embs = linear_interpolation(emb_s, emb_e, size=size)
             uncond = linear_interpolation(un_s, un_e, size=size)
             pooled = linear_interpolation(pooled_s, pooled_e, size=size)
+            neg_pooled = linear_interpolation(neg_pooled_s, neg_pooled_e, size=size)
 
         coef = jnp.asarray(generate_beta_schedule(size, alpha, beta, force_endpoints=True))
-        added = {"text_embeds": pooled, "time_ids": self._time_ids(size, height, width)}
+        time_ids = self._time_ids(size, height, width)
+        added = {"text_embeds": pooled, "time_ids": time_ids}
+        # uncond pass takes the negative pooled embeds (reference sdxl:2275-2293)
+        added_uncond = {"text_embeds": neg_pooled, "time_ids": time_ids}
         return self._run_sequence(
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, added_cond=added,
+            added_cond_uncond=added_uncond,
             output_type="latent" if denoising_end else output_type,
             per_frame_decode=True,
             num_run_steps=self._effective_steps(num_inference_steps, denoising_end),
@@ -165,21 +169,20 @@ class InterpolationXLPipeline(InterpolationPipeline):
         latent_t = slerp(latent_start, latent_end, it)
         latents = jnp.concatenate([latent_start, latent_t, latent_end], axis=0)
 
-        emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
-        pooled_s, neg_pooled = self._last_pooled
-        emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
-        pooled_e, _ = self._last_pooled
+        emb_s, un_s, pooled_s, neg_pooled_s = self.encode_prompt(prompt_start, negative_prompt)
+        emb_e, un_e, pooled_e, neg_pooled_e = self.encode_prompt(prompt_end, negative_prompt)
         if guide_prompt is not None:
-            emb_t, _ = self.encode_prompt(guide_prompt, negative_prompt)
-            pooled_t, _ = self._last_pooled
+            emb_t, _, pooled_t, _ = self.encode_prompt(guide_prompt, negative_prompt)
         else:
             emb_t = self._interp_pair(emb_s, emb_e, it, init)
             pooled_t = self._interp_pair(pooled_s, pooled_e, it, init)
         un_t = self._interp_pair(un_s, un_e, it, init)
+        neg_pooled_t = self._interp_pair(neg_pooled_s, neg_pooled_e, it, init)
 
         embs = jnp.concatenate([emb_s, emb_t, emb_e], axis=0)
         uncond = jnp.concatenate([un_s, un_t, un_e], axis=0)
         pooled = jnp.concatenate([pooled_s, pooled_t, pooled_e], axis=0)
+        neg_pooled = jnp.concatenate([neg_pooled_s, neg_pooled_t, neg_pooled_e], axis=0)
 
         ip_cond = ip_uncond = None
         if image_embeds_end is not None:
@@ -192,12 +195,15 @@ class InterpolationXLPipeline(InterpolationPipeline):
             ip_uncond = jnp.concatenate([negative_image_embeds] * 3, axis=0)
 
         coef = jnp.array([0.0, it, 1.0], jnp.float32)
-        added = {"text_embeds": pooled, "time_ids": self._time_ids(3, height, width)}
+        time_ids = self._time_ids(3, height, width)
+        added = {"text_embeds": pooled, "time_ids": time_ids}
+        added_uncond = {"text_embeds": neg_pooled, "time_ids": time_ids}
         return self._run_sequence(
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, guidance_rescale,
             ip_image_embeds=ip_cond, ip_uncond_image_embeds=ip_uncond,
             added_cond=added,
+            added_cond_uncond=added_uncond,
             output_type="latent" if denoising_end else output_type,
             per_frame_decode=True,
             num_run_steps=self._effective_steps(num_inference_steps, denoising_end),

@@ -70,6 +70,40 @@ class TestSDXL:
         )
         assert out.shape == (4, 16, 16, 3)
 
+    def test_uncond_pass_uses_negative_pooled(self, xl_pipe):
+        """The uncond UNet forward must receive the NEGATIVE pooled embeds /
+        time_ids (reference sdxl:2275-2293): changing only added_cond_uncond
+        changes the output, and None falls back to added_cond."""
+        from aid_tpu.models.layers import AidMode
+        from aid_tpu.pipelines import engine
+
+        s = xl_pipe.unet.config.sample_size
+        latents = jax.random.normal(jax.random.PRNGKey(3), (3, s, s, 4))
+        emb, un, pooled, neg_pooled = xl_pipe.encode_prompt("a cat", "blurry")
+        embs = jnp.concatenate([emb] * 3, axis=0)
+        uncond = jnp.concatenate([un] * 3, axis=0)
+        coef = jnp.array([0.0, 0.5, 1.0])
+        time_ids = xl_pipe._time_ids(3, 16, 16)
+        added = {"text_embeds": jnp.concatenate([pooled] * 3), "time_ids": time_ids}
+        added_neg = {"text_embeds": jnp.concatenate([neg_pooled] * 3), "time_ids": time_ids}
+
+        def run(added_uncond):
+            state = xl_pipe.scheduler.init(2, latent_shape=latents.shape)
+            return engine.denoise_sequence(
+                xl_pipe.unet, xl_pipe.scheduler, xl_pipe.unet_params,
+                latents + 0.0,  # denoise_sequence donates latents
+                embs, uncond, coef, state, jnp.float32(5.0),
+                early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+                num_steps=2, warmup_steps=1,
+                added_cond=added, added_cond_uncond=added_uncond,
+            )
+
+        base = run(None)
+        same = run(added)  # None must default to added_cond
+        diff = run(added_neg)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+        assert np.any(np.asarray(base) != np.asarray(diff))
+
     def test_pooled_embeds_are_interpolated(self, xl_pipe):
         """Changing t must change the mid frame (pooled path active), while
         endpoints stay fixed."""
