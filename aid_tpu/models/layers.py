@@ -255,6 +255,12 @@ class CrossAttention(nn.Module):
 
         force = aid.force_vanilla if aid is not None else None
 
+        def sharded_skip(b_local):
+            """Endpoint-skip rows by GLOBAL frame index under frame sharding."""
+            dp = jax.lax.psum(1, self.frame_axis)
+            grow = jax.lax.axis_index(self.frame_axis) * b_local + jnp.arange(b_local)
+            return ((grow == 0) & (coef == 0.0)) | ((grow == dp * b_local - 1) & (coef == 1.0))
+
         eps = {}
         skip = None
         if aid is not None and mode != AttnMode.SELF:
@@ -263,10 +269,7 @@ class CrossAttention(nn.Module):
                 kb, ke = global_endpoints(k)
                 vb, ve = global_endpoints(v)
                 eps = dict(k_begin=kb, v_begin=vb, k_end=ke, v_end=ve)
-                b_local = k.shape[0]
-                dp = jax.lax.psum(1, self.frame_axis)
-                grow = jax.lax.axis_index(self.frame_axis) * b_local + jnp.arange(b_local)
-                skip = ((grow == 0) & (coef == 0.0)) | ((grow == dp * b_local - 1) & (coef == 1.0))
+                skip = sharded_skip(k.shape[0])
             elif aid.mode.cfg_split:
                 n = aid.mode.cfg_split
                 kb, ke = per_row_endpoints(k, n)
@@ -301,13 +304,20 @@ class CrossAttention(nn.Module):
             ip_mode = AttnMode.SELF if aid.mode.ip == "own" else AttnMode(aid.mode.ip)
             ip_eps = {}
             ip_skip = None
-            if aid.mode.cfg_split and ip_mode != AttnMode.SELF:
+            if self.frame_axis is not None and ip_mode != AttnMode.SELF:
+                # interpolated IP endpoints are GLOBAL frames 0 / N-1 too
+                ikb, ike = global_endpoints(ip_k)
+                ivb, ive = global_endpoints(ip_v)
+                ip_eps = dict(k_begin=ikb, v_begin=ivb, k_end=ike, v_end=ive)
+                ip_skip = sharded_skip(ip_k.shape[0])
+            elif aid.mode.cfg_split and ip_mode != AttnMode.SELF:
                 n = aid.mode.cfg_split
                 ikb, ike = per_row_endpoints(ip_k, n)
                 ivb, ive = per_row_endpoints(ip_v, n)
                 ip_eps = dict(k_begin=ikb, v_begin=ivb, k_end=ike, v_end=ive)
             if force is not None and ip_mode != AttnMode.SELF:
-                ip_skip = jnp.broadcast_to(force, (q.shape[0],))
+                forced = jnp.broadcast_to(force, (q.shape[0],))
+                ip_skip = forced if ip_skip is None else jnp.logical_or(ip_skip, forced)
             ip_out = dispatch_attention(q, ip_k, ip_v, aid.coef, ip_mode,
                                         backend=self.attention_backend,
                                         skip_endpoints=ip_skip,

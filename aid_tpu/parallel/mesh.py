@@ -145,7 +145,16 @@ def sharded_denoise_sequence(
     dp = mesh.shape[DATA_AXIS]
     assert latents.shape[0] % dp == 0, "frames must divide the data axis"
 
-    fn = functools.partial(
+    # Per-frame optional inputs (IP tokens, SDXL added-cond dicts) must ride
+    # the frame sharding through in_specs — a closure capture would stay
+    # full-batch and mismatch the sharded latents inside the UNet.
+    frame_kw_names = [
+        k for k in ("ip_embeds", "ip_uncond_embeds", "added_cond", "added_cond_uncond")
+        if kwargs.get(k) is not None
+    ]
+    frame_kw = {k: kwargs.pop(k) for k in frame_kw_names}
+
+    fn_inner = functools.partial(
         engine.denoise_sequence,
         unet_sh,
         scheduler,
@@ -155,6 +164,10 @@ def sharded_denoise_sequence(
         warmup_steps=warmup_steps,
         **kwargs,
     )
+
+    def fn(params, latents, embs, uncond_embs, coef, sched_state, guidance_scale, frame_kw):
+        return fn_inner(params, latents, embs, uncond_embs, coef, sched_state,
+                        guidance_scale, **frame_kw)
 
     frame_spec = lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1)))
     # scheduler-state leaves that are latent-shaped (multistep history
@@ -170,12 +183,13 @@ def sharded_denoise_sequence(
         P(DATA_AXIS),
         state_specs,
         P(),
+        jax.tree_util.tree_map(frame_spec, frame_kw),
     )
     out_specs = frame_spec(latents)
 
     return shard_map(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False,
-    )(params, latents, embs, uncond_embs, coef, sched_state, guidance_scale)
+    )(params, latents, embs, uncond_embs, coef, sched_state, guidance_scale, frame_kw)
 
 
 def shard_frames(tree, mesh: Mesh):

@@ -133,6 +133,50 @@ def test_shard_map_endpoint_collective_semantics(pipe):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_shard_map_ip_embeds_frame_sharded(pipe):
+    """IP tokens must ride the frame sharding through in_specs (not a
+    full-batch closure capture) and interpolated IP endpoints must be the
+    GLOBAL frames: sharded IP run == unsharded IP run."""
+    import dataclasses
+
+    from aid_tpu.models.ip_adapter import ImageProjection
+    from aid_tpu.models import configs
+    from aid_tpu.parallel import make_mesh, sharded_denoise_sequence
+    from helpers import tiny_pipeline
+
+    cfg = configs.TINY_UNET_IP
+    base = tiny_pipeline(unet_cfg=cfg)
+    proj = ImageProjection(cross_attention_dim=cfg.cross_attention_dim,
+                           num_tokens=cfg.ip_num_tokens)
+    proj_params = proj.init(jax.random.PRNGKey(2), jnp.zeros((1, cfg.ip_hidden_dim)))
+    ip_pipe = dataclasses.replace(base, ip_proj=proj, ip_proj_params=proj_params)
+
+    size = 8
+    latents, embs, uncond, coef, state = _sequence_inputs(ip_pipe, size=size)
+    raw = jax.random.normal(jax.random.PRNGKey(7), (size, cfg.ip_hidden_dim))
+    ip_tokens = proj.apply(proj_params, raw)
+    ip_un = proj.apply(proj_params, jnp.zeros_like(raw))
+
+    def run(sharded):
+        lat, em, un, cf, st = _sequence_inputs(ip_pipe, size=size)
+        kw = dict(
+            early=AidMode.from_name("fused_outer", has_ip=True),
+            late=AidMode.vanilla(has_ip=True),
+            num_steps=2, warmup_steps=1,
+            ip_embeds=ip_tokens, ip_uncond_embeds=ip_un, ip_scale=0.7,
+        )
+        if sharded:
+            mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+            return np.asarray(sharded_denoise_sequence(
+                mesh, ip_pipe.unet, ip_pipe.scheduler, ip_pipe.unet_params,
+                lat, em, un, cf, st, jnp.float32(7.5), **kw))
+        return np.asarray(engine.denoise_sequence(
+            ip_pipe.unet, ip_pipe.scheduler, ip_pipe.unet_params,
+            lat, em, un, cf, st, jnp.float32(7.5), **kw))
+
+    np.testing.assert_allclose(run(True), run(False), rtol=1e-4, atol=1e-4)
+
+
 def test_multislice_mesh_shape():
     """Hybrid DCN x ICI mesh degenerates to a local reshape on one host."""
     from aid_tpu.parallel import make_multislice_mesh
