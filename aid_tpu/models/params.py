@@ -137,8 +137,19 @@ def convert_unet_state_dict(sd: Dict[str, Any]) -> Dict:
 
 
 def convert_vae_state_dict(sd: Dict[str, Any]) -> Dict:
-    """diffusers AutoencoderKL state dict -> AutoencoderKL params."""
-    return convert_torch_state_dict(sd)
+    """diffusers AutoencoderKL state dict -> AutoencoderKL params.
+
+    The VAE flax tree nests the mid block ('mid_block' submodule containing
+    resnets_0/attentions_0), unlike the UNet's flat 'mid_block_attentions_0'
+    naming — pre-join the sub-indices so the generic converter keeps the
+    nesting instead of collapsing to the UNet layout."""
+    import re
+
+    remapped = {
+        re.sub(r"mid_block\.(resnets|attentions)\.(\d+)", r"mid_block.\1_\2", k): v
+        for k, v in sd.items()
+    }
+    return convert_torch_state_dict(remapped)
 
 
 def convert_clip_text_state_dict(sd: Dict[str, Any]) -> Dict:
@@ -187,7 +198,14 @@ def convert_ip_adapter_state_dict(sd: Dict[str, Any], unet_cross_attn_names) -> 
 
 def unet_attention_order(config) -> list:
     """Flax module paths of cross-attention (attn2) layers in diffusers
-    attn_processors order: down blocks, mid, up blocks."""
+    attn_processors order: down blocks, UP blocks, then mid block LAST.
+
+    diffusers UNet2DConditionModel.__init__ assigns the (empty) up_blocks
+    ModuleList before mid_block, and torch registers children by attribute
+    ASSIGNMENT order, so named_children() — which attn_processors (and
+    therefore IP-Adapter checkpoint key indices, e.g. h94/IP-Adapter
+    '<idx>.to_k_ip.weight') walks — yields down -> up -> mid. SD1.5: attn2
+    indices 1..29 are down+up, 31 is the mid block."""
     names = []
 
     def add(base, level):
@@ -198,15 +216,15 @@ def unet_attention_order(config) -> list:
         if config.cross_attention_levels[level]:
             for j in range(config.layers_per_block):
                 add(f"down_blocks_{level}_attentions_{j}", level)
+    for up_idx, level in enumerate(reversed(range(config.num_levels))):
+        if config.cross_attention_levels[level]:
+            for j in range(config.layers_per_block + 1):
+                add(f"up_blocks_{up_idx}_attentions_{j}", level)
     top = config.num_levels - 1
     mid_level = top if config.cross_attention_levels[top] else next(
         i for i in reversed(range(config.num_levels)) if config.cross_attention_levels[i]
     )
     add("mid_block_attentions_0", mid_level)
-    for up_idx, level in enumerate(reversed(range(config.num_levels))):
-        if config.cross_attention_levels[level]:
-            for j in range(config.layers_per_block + 1):
-                add(f"up_blocks_{up_idx}_attentions_{j}", level)
     return names
 
 

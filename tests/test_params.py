@@ -59,6 +59,8 @@ def _flax_to_torch(tree, prefix=""):
                 r"(down_blocks|up_blocks)_(\d+)_(resnets|attentions|downsamplers|upsamplers)_(\d+)",
                 r"\1.\2.\3.\4", torch_name)
             torch_name = re.sub(r"mid_block_(resnets|attentions)_(\d+)", r"mid_block.\1.\2", torch_name)
+            # VAE nested mid block: mid_block.attentions_0 -> mid_block.attentions.0
+            torch_name = re.sub(r"mid_block\.(resnets|attentions)_(\d+)", r"mid_block.\1.\2", torch_name)
             sd[torch_name] = w
     return sd
 
@@ -102,6 +104,36 @@ class TestUNetRoundtrip:
         e = jax.random.normal(jax.random.PRNGKey(3), (2, 7, cfg.cross_attention_dim))
         a = unet.apply(params, x, jnp.array(5), e)
         b = unet.apply(converted, x, jnp.array(5), e)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+class TestVAERoundtrip:
+    def test_roundtrip_exact_and_runs(self):
+        """VAE conversion must produce the NESTED mid_block tree the flax
+        module uses (mid_block/attentions_0), not the UNet's flat naming —
+        a real diffusers VAE checkpoint exercises exactly these keys."""
+        from aid_tpu.models import AutoencoderKL
+        from aid_tpu.models.params import convert_vae_state_dict
+
+        cfg = configs.TINY_VAE
+        vae = AutoencoderKL(cfg)
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        sd = _flax_to_torch(params["params"])
+        assert any(k.startswith("encoder.mid_block.attentions.0.to_q") for k in sd)
+        assert any(k.startswith("decoder.up_blocks.0.resnets.0") for k in sd)
+
+        converted = convert_vae_state_dict(sd)
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = jax.tree_util.tree_leaves_with_path(converted)
+        assert len(flat_a) == len(flat_b)
+        for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                      sorted(flat_b, key=lambda t: str(t[0]))):
+            assert str(pa) == str(pb), f"{pa} != {pb}"
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 4, cfg.latent_channels))
+        a = vae.apply(params, x, method=AutoencoderKL.decode)
+        b = vae.apply(converted, x, method=AutoencoderKL.decode)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
@@ -181,6 +213,29 @@ class TestIPAdapterConversion:
             for pp in path:
                 node = node[pp]
             assert node["to_k_ip"]["kernel"].shape[0] == cfg.cross_attention_dim
+
+    def test_sd15_attention_order_pins_diffusers_layout(self):
+        """Non-circular pin of the diffusers attn_processors enumeration for
+        the SD1.5 config: down blocks, then UP blocks, then mid LAST. torch
+        registers children by attribute ASSIGNMENT order and diffusers
+        UNet2DConditionModel.__init__ assigns the empty up_blocks ModuleList
+        before mid_block, so named_children() — the order that defines
+        h94/IP-Adapter checkpoint key indices 1,3,...,31 — is down/up/mid.
+        The first up-block attn2 must directly follow the last down-block
+        one, and the mid block must map to checkpoint index 31."""
+        order = unet_attention_order(configs.SD15_UNET)
+        expected = []
+        for level in range(3):  # cross levels 0-2; level 3 has no attention
+            for j in range(2):  # layers_per_block
+                expected.append((f"down_blocks_{level}_attentions_{j}",
+                                 "transformer_blocks_0", "attn2"))
+        for up in (1, 2, 3):  # up_blocks_0 mirrors level 3 (no attention)
+            for j in range(3):  # layers_per_block + 1
+                expected.append((f"up_blocks_{up}_attentions_{j}",
+                                 "transformer_blocks_0", "attn2"))
+        expected.append(("mid_block_attentions_0", "transformer_blocks_0", "attn2"))
+        assert order == expected
+        assert len(order) == 16  # checkpoint idx 2*i+1 -> mid at 31
 
 
 class TestLPIPSConversion:
