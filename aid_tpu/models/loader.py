@@ -121,6 +121,94 @@ def load_text_encoder(path: str, dtype=jnp.float32):
     return module, params
 
 
+def clip_vision_config_from_transformers(cfg: dict) -> C.CLIPVisionConfig:
+    # safety_checker / image_encoder config.json may nest the vision tower
+    # under "vision_config" (CLIPConfig format)
+    vc = cfg.get("vision_config", cfg)
+    return C.CLIPVisionConfig(
+        image_size=vc.get("image_size", 224),
+        patch_size=vc.get("patch_size", 32),
+        hidden_size=vc.get("hidden_size", 768),
+        intermediate_size=vc.get("intermediate_size", 3072),
+        num_hidden_layers=vc.get("num_hidden_layers", 12),
+        num_attention_heads=vc.get("num_attention_heads", 12),
+        projection_dim=cfg.get("projection_dim", vc.get("projection_dim", 512)),
+        hidden_act=vc.get("hidden_act", "quick_gelu"),
+    )
+
+
+def load_safety_checker(path: str):
+    """Build a SafetyChecker from a checkpoint's safety_checker/ directory
+    (reference constructs it via from_pretrained and runs it on every decode,
+    pipeline_interpolated_sd.py:328-438, :1939-1941)."""
+    from aid_tpu.models.safety import SafetyChecker, convert_safety_checker_state_dict
+
+    cfg = clip_vision_config_from_transformers(_read_config(path))
+    module = SafetyChecker(cfg)
+    params = convert_safety_checker_state_dict(load_safetensors(path))
+    return module, params
+
+
+def load_scheduler(repo_path: str, scheduler_name: str = "auto"):
+    """Build a scheduler from <repo_path>/scheduler/scheduler_config.json.
+
+    ``scheduler_name='auto'`` dispatches on the config's ``_class_name``
+    (reference: from_pretrained instantiates whatever class the checkpoint
+    pins — playground-v2.5 ships EDMDPMSolverMultistepScheduler,
+    play_sdxl_trial.ipynb cell 3); explicit names override. EDM sigma
+    parameters (sigma_min/max/data, rho) are read from the config."""
+    from aid_tpu.schedulers import (
+        DDIMScheduler,
+        EDMDPMSolverScheduler,
+        EulerDiscreteScheduler,
+        SchedulerConfig,
+        UniPCScheduler,
+    )
+
+    sc = {}
+    sch_path = os.path.join(repo_path, "scheduler", "scheduler_config.json")
+    if os.path.exists(sch_path):
+        with open(sch_path) as f:
+            sc = json.load(f)
+
+    if scheduler_name == "auto":
+        cls = sc.get("_class_name", "DDIMScheduler")
+        scheduler_name = {
+            "DDIMScheduler": "ddim",
+            "UniPCMultistepScheduler": "unipc",
+            "EulerDiscreteScheduler": "euler",
+            "EDMDPMSolverMultistepScheduler": "edm",
+            "DPMSolverMultistepScheduler": "unipc",  # closest functional match
+        }.get(cls, "ddim")
+
+    if scheduler_name == "edm":
+        return EDMDPMSolverScheduler(
+            sigma_min=sc.get("sigma_min", 0.002),
+            sigma_max=sc.get("sigma_max", 80.0),
+            sigma_data=sc.get("sigma_data", 0.5),
+            rho=sc.get("rho", 7.0),
+            prediction_type=sc.get("prediction_type", "epsilon"),
+        )
+
+    sch_cfg = SchedulerConfig(
+        num_train_timesteps=sc.get("num_train_timesteps", 1000),
+        beta_start=sc.get("beta_start", 0.00085),
+        beta_end=sc.get("beta_end", 0.012),
+        beta_schedule=sc.get("beta_schedule", "scaled_linear"),
+        prediction_type=sc.get("prediction_type", "epsilon"),
+        timestep_spacing=sc.get("timestep_spacing", "leading"),
+        steps_offset=sc.get("steps_offset", 1),
+        set_alpha_to_one=sc.get("set_alpha_to_one", False),
+        clip_sample=sc.get("clip_sample", False),
+        rescale_betas_zero_snr=sc.get("rescale_betas_zero_snr", False),
+    )
+    return {
+        "ddim": DDIMScheduler,
+        "unipc": UniPCScheduler,
+        "euler": EulerDiscreteScheduler,
+    }[scheduler_name](sch_cfg)
+
+
 def load_interpolation_pipeline(
     repo_path: str,
     scheduler_name: str = "ddim",
@@ -134,35 +222,17 @@ def load_interpolation_pipeline(
     InterpolationStableDiffusionPipeline.from_pretrained + load_aid.
     """
     from aid_tpu.pipelines import InterpolationPipeline
-    from aid_tpu.schedulers import DDIMScheduler, EulerDiscreteScheduler, SchedulerConfig, UniPCScheduler
 
     unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype)
     vae, vae_params = load_vae(os.path.join(repo_path, "vae"))
     text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"))
     tokenizer = load_tokenizer(os.path.join(repo_path, "tokenizer"))
+    scheduler = load_scheduler(repo_path, scheduler_name)
 
-    sch_cfg = SchedulerConfig()
-    sch_path = os.path.join(repo_path, "scheduler", "scheduler_config.json")
-    if os.path.exists(sch_path):
-        with open(sch_path) as f:
-            sc = json.load(f)
-        sch_cfg = SchedulerConfig(
-            num_train_timesteps=sc.get("num_train_timesteps", 1000),
-            beta_start=sc.get("beta_start", 0.00085),
-            beta_end=sc.get("beta_end", 0.012),
-            beta_schedule=sc.get("beta_schedule", "scaled_linear"),
-            prediction_type=sc.get("prediction_type", "epsilon"),
-            timestep_spacing=sc.get("timestep_spacing", "leading"),
-            steps_offset=sc.get("steps_offset", 1),
-            set_alpha_to_one=sc.get("set_alpha_to_one", False),
-            clip_sample=sc.get("clip_sample", False),
-            rescale_betas_zero_snr=sc.get("rescale_betas_zero_snr", False),
-        )
-    scheduler = {
-        "ddim": DDIMScheduler,
-        "unipc": UniPCScheduler,
-        "euler": EulerDiscreteScheduler,
-    }[scheduler_name](sch_cfg)
+    safety, safety_params = None, None
+    safety_dir = os.path.join(repo_path, "safety_checker")
+    if os.path.isdir(safety_dir) and os.path.exists(os.path.join(safety_dir, "config.json")):
+        safety, safety_params = load_safety_checker(safety_dir)
 
     return InterpolationPipeline(
         unet=unet, unet_params=unet_params,
@@ -170,19 +240,23 @@ def load_interpolation_pipeline(
         text_encoder=text, text_params=text_params,
         tokenizer=tokenizer, scheduler=scheduler,
         guidance_scale=guidance_scale,
+        safety_checker=safety, safety_params=safety_params,
     )
 
 
-def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "euler", dtype=jnp.bfloat16):
-    """Build an InterpolationXLPipeline from a local SDXL checkpoint dir."""
+def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "auto", dtype=jnp.bfloat16):
+    """Build an InterpolationXLPipeline from a local SDXL checkpoint dir.
+
+    scheduler_name='auto' honors the checkpoint's scheduler_config.json
+    _class_name — this is how the playground-v2.5 EDM path loads end-to-end
+    (reference play_sdxl_trial.ipynb cell 3)."""
     from aid_tpu.pipelines.sdxl import InterpolationXLPipeline
-    from aid_tpu.schedulers import DDIMScheduler, EulerDiscreteScheduler, UniPCScheduler
 
     unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype)
     vae, vae_params = load_vae(os.path.join(repo_path, "vae"))
     text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"))
     text2, text2_params = load_text_encoder(os.path.join(repo_path, "text_encoder_2"))
-    scheduler = {"ddim": DDIMScheduler, "unipc": UniPCScheduler, "euler": EulerDiscreteScheduler}[scheduler_name]()
+    scheduler = load_scheduler(repo_path, scheduler_name)
 
     return InterpolationXLPipeline(
         unet=unet, unet_params=unet_params,

@@ -25,6 +25,9 @@ def _stats(images: np.ndarray) -> dict:
         "mean": float(x.mean()),
         "std": float(x.std()),
         "frame_means": [float(m) for m in x.mean(axis=(1, 2, 3))],
+        # spatially-structured pin: an 8x8 corner crop (channel 0) per frame
+        # catches drift that summary statistics average away
+        "corner_patches": x[:, :8, :8, 0].tolist(),
     }
 
 
@@ -62,3 +65,10 @@ def test_golden_regression():
         assert abs(got["std"] - want["std"]) < 0.5, (name, got["std"], want["std"])
         for a, b in zip(got["frame_means"], want["frame_means"]):
             assert abs(a - b) < 1.0, (name, got["frame_means"], want["frame_means"])
+        if "corner_patches" in want:
+            np.testing.assert_allclose(
+                np.asarray(got["corner_patches"]),
+                np.asarray(want["corner_patches"]),
+                atol=3.0,  # uint8 scale; tolerates XLA drift, catches real change
+                err_msg=name,
+            )

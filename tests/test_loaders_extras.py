@@ -88,6 +88,54 @@ class TestTextualInversion:
         assert "<thing>" in tiny_tokenizer.added_tokens
 
 
+class TestSchedulerDispatch:
+    def _write(self, tmp_path, cfg):
+        d = tmp_path / "scheduler"
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / "scheduler_config.json", "w") as f:
+            json.dump(cfg, f)
+        return str(tmp_path)
+
+    def test_auto_dispatches_edm(self, tmp_path):
+        """playground-v2.5 pins EDMDPMSolverMultistepScheduler with custom
+        sigma params (reference play_sdxl_trial.ipynb cell 3) — 'auto' must
+        build the EDM scheduler from the config."""
+        from aid_tpu.models.loader import load_scheduler
+        from aid_tpu.schedulers import EDMDPMSolverScheduler
+
+        root = self._write(tmp_path, {
+            "_class_name": "EDMDPMSolverMultistepScheduler",
+            "sigma_min": 0.002, "sigma_max": 120.0, "sigma_data": 0.5,
+            "rho": 7.0, "prediction_type": "v_prediction",
+        })
+        sch = load_scheduler(root, "auto")
+        assert isinstance(sch, EDMDPMSolverScheduler)
+        assert sch.sigma_max == 120.0 and sch.prediction_type == "v_prediction"
+        state = sch.init(4)
+        assert float(state.sigmas[0]) == pytest.approx(120.0, rel=1e-5)
+
+    def test_auto_dispatches_named_classes(self, tmp_path):
+        from aid_tpu.models.loader import load_scheduler
+        from aid_tpu.schedulers import DDIMScheduler, EulerDiscreteScheduler, UniPCScheduler
+
+        for cls, want in [
+            ("DDIMScheduler", DDIMScheduler),
+            ("EulerDiscreteScheduler", EulerDiscreteScheduler),
+            ("UniPCMultistepScheduler", UniPCScheduler),
+        ]:
+            root = self._write(tmp_path, {"_class_name": cls, "beta_end": 0.011})
+            sch = load_scheduler(root, "auto")
+            assert isinstance(sch, want), cls
+            assert sch.config.beta_end == 0.011
+
+    def test_explicit_name_overrides(self, tmp_path):
+        from aid_tpu.models.loader import load_scheduler
+        from aid_tpu.schedulers import UniPCScheduler
+
+        root = self._write(tmp_path, {"_class_name": "DDIMScheduler"})
+        assert isinstance(load_scheduler(root, "unipc"), UniPCScheduler)
+
+
 class TestSafetyChecker:
     def test_flags_and_blackout(self):
         from aid_tpu.models.safety import SafetyChecker, run_safety_checker
@@ -105,6 +153,41 @@ class TestSafetyChecker:
                 assert (out[i] == 0).all()
             else:
                 np.testing.assert_array_equal(out[i], images[i])
+
+    def test_pipeline_integration_blacks_out_flagged(self):
+        """An attached checker runs on every decode (reference sd:1939-1941):
+        with thresholds rigged to flag everything, the pipeline output is
+        black; rigged to pass, output is unchanged."""
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+
+        from aid_tpu.models.safety import SafetyChecker
+        from helpers import tiny_pipeline
+
+        cfg = configs.TINY_CLIP_VISION
+        checker = SafetyChecker(cfg)
+        params = checker.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.image_size, cfg.image_size, 3)))
+
+        def rig(thresh):
+            p = jax.tree_util.tree_map(lambda x: x, params)
+            p["params"]["concept_embeds_weights"] = jnp.full((17,), thresh)
+            p["params"]["special_care_embeds_weights"] = jnp.full((3,), thresh)
+            return p
+
+        base = tiny_pipeline()
+        kw = dict(prompt_start="a cat", prompt_end="a dog", num_inference_steps=2)
+
+        flag_all = dc.replace(base, safety_checker=checker, safety_params=rig(-10.0))
+        out = flag_all.interpolate_single(0.5, **kw)
+        assert (out == 0).all(), "rigged checker must black out every frame"
+
+        flag_none = dc.replace(base, safety_checker=checker, safety_params=rig(10.0))
+        out2 = flag_none.interpolate_single(0.5, **kw)
+        plain = base.interpolate_single(0.5, **kw)
+        np.testing.assert_array_equal(out2, plain)
 
     def test_converter_shapes(self):
         from aid_tpu.models.safety import SafetyChecker, convert_safety_checker_state_dict
