@@ -244,6 +244,77 @@ def load_interpolation_pipeline(
     )
 
 
+def load_single_file_pipeline(
+    checkpoint_path: str,
+    tokenizer_path: str,
+    scheduler_name: str = "ddim",
+    dtype=jnp.bfloat16,
+    guidance_scale: float = 7.5,
+):
+    """Build an InterpolationPipeline from an original single-file SD
+    checkpoint (.safetensors or torch .ckpt).
+
+    Reference FromSingleFileMixin surface (pipeline_interpolated_sd.py:
+    283-289). Model configs are inferred from checkpoint tensor shapes
+    (cross-attention width 768 -> SD1.x, 1024 -> SD2.x). The original
+    format carries no tokenizer, so a local tokenizer directory (any SD
+    checkpoint's tokenizer/ subfolder) must be supplied."""
+    from aid_tpu.models.params import (
+        convert_clip_text_state_dict,
+        convert_ldm_checkpoint,
+        convert_unet_state_dict,
+        convert_vae_state_dict,
+    )
+    from aid_tpu.pipelines import InterpolationPipeline
+    from aid_tpu.schedulers import DDIMScheduler, EulerDiscreteScheduler, SchedulerConfig, UniPCScheduler
+
+    if checkpoint_path.endswith(".safetensors"):
+        sd = load_safetensors(checkpoint_path)
+    else:
+        import torch
+
+        sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    unet_sd, vae_sd, text_sd = convert_ldm_checkpoint(sd)
+
+    cross_dim = unet_sd["down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight"].shape[1]
+    linear_proj = unet_sd["down_blocks.0.attentions.0.proj_in.weight"].ndim == 2
+    unet_cfg = C.SD21_UNET if cross_dim == 1024 else C.SD15_UNET
+    if linear_proj != unet_cfg.use_linear_projection:
+        import dataclasses
+
+        unet_cfg = dataclasses.replace(unet_cfg, use_linear_projection=linear_proj)
+    unet = UNet2DCondition(unet_cfg, dtype=dtype)
+    unet_params = convert_unet_state_dict(unet_sd)
+
+    vae = AutoencoderKL(C.VAEConfig())
+    vae_params = convert_vae_state_dict(vae_sd)
+
+    emb = text_sd["text_model.embeddings.token_embedding.weight"]
+    n_layers = 1 + max(
+        int(k.split(".")[3]) for k in text_sd if k.startswith("text_model.encoder.layers.")
+    )
+    hidden = emb.shape[1]
+    text_cfg = C.CLIPTextConfig(
+        vocab_size=emb.shape[0], hidden_size=hidden,
+        intermediate_size=4 * hidden, num_hidden_layers=n_layers,
+        num_attention_heads=hidden // 64,
+    )
+    text = CLIPTextModel(text_cfg)
+    text_params = convert_clip_text_state_dict(text_sd)
+
+    sch_cfg = SchedulerConfig()  # SD-1.x defaults (scaled_linear 0.00085-0.012)
+    scheduler = {"ddim": DDIMScheduler, "unipc": UniPCScheduler,
+                 "euler": EulerDiscreteScheduler}[scheduler_name](sch_cfg)
+
+    return InterpolationPipeline(
+        unet=unet, unet_params=unet_params,
+        vae=vae, vae_params=vae_params,
+        text_encoder=text, text_params=text_params,
+        tokenizer=load_tokenizer(tokenizer_path),
+        scheduler=scheduler, guidance_scale=guidance_scale,
+    )
+
+
 def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "auto", dtype=jnp.bfloat16):
     """Build an InterpolationXLPipeline from a local SDXL checkpoint dir.
 

@@ -228,6 +228,158 @@ def unet_attention_order(config) -> list:
     return names
 
 
+# ---------------------------------------------------------------------------
+# single-file (original LDM .ckpt/.safetensors) checkpoints
+# ---------------------------------------------------------------------------
+
+_LDM_RES_MAP = {
+    "in_layers.0": "norm1",
+    "in_layers.2": "conv1",
+    "emb_layers.1": "time_emb_proj",
+    "out_layers.0": "norm2",
+    "out_layers.3": "conv2",
+    "skip_connection": "conv_shortcut",
+}
+
+_LDM_VAE_ATTN_MAP = {"norm": "group_norm", "q": "to_q", "k": "to_k", "v": "to_v", "proj_out": "to_out.0"}
+
+
+def _ldm_unet_key(key: str, layers_per_block: int = 2) -> Optional[str]:
+    """One 'model.diffusion_model.'-stripped LDM UNet key -> diffusers key."""
+    per = layers_per_block + 1  # resnets + the downsample slot per level
+    parts = key.split(".")
+
+    def map_res(rest: str) -> str:
+        for src, dst in _LDM_RES_MAP.items():
+            if rest.startswith(src + "."):
+                return dst + rest[len(src):]
+        return rest
+
+    if key.startswith("time_embed.0."):
+        return "time_embedding.linear_1." + key[len("time_embed.0."):]
+    if key.startswith("time_embed.2."):
+        return "time_embedding.linear_2." + key[len("time_embed.2."):]
+    if key.startswith("out.0."):
+        return "conv_norm_out." + key[len("out.0."):]
+    if key.startswith("out.2."):
+        return "conv_out." + key[len("out.2."):]
+    if key.startswith("input_blocks.0.0."):
+        return "conv_in." + key[len("input_blocks.0.0."):]
+
+    if parts[0] == "input_blocks":
+        i, j = int(parts[1]), int(parts[2])
+        rest = ".".join(parts[3:])
+        block_id, layer = (i - 1) // per, (i - 1) % per
+        if rest.startswith("op."):  # downsample conv
+            return f"down_blocks.{block_id}.downsamplers.0.conv." + rest[len("op."):]
+        if j == 0:
+            return f"down_blocks.{block_id}.resnets.{layer}." + map_res(rest)
+        return f"down_blocks.{block_id}.attentions.{layer}." + rest
+
+    if parts[0] == "middle_block":
+        j = int(parts[1])
+        rest = ".".join(parts[2:])
+        if j == 0:
+            return "mid_block.resnets.0." + map_res(rest)
+        if j == 1:
+            return "mid_block.attentions.0." + rest
+        return "mid_block.resnets.1." + map_res(rest)
+
+    if parts[0] == "output_blocks":
+        i, j = int(parts[1]), int(parts[2])
+        rest = ".".join(parts[3:])
+        block_id, layer = i // per, i % per
+        if j == 0:
+            return f"up_blocks.{block_id}.resnets.{layer}." + map_res(rest)
+        if rest.startswith("conv."):  # upsample (last sub-module of the block)
+            return f"up_blocks.{block_id}.upsamplers.0." + rest
+        return f"up_blocks.{block_id}.attentions.{layer}." + rest
+    return None
+
+
+def _ldm_vae_key(key: str, num_levels: int = 4) -> Optional[str]:
+    """One 'first_stage_model.'-stripped LDM VAE key -> diffusers key."""
+    parts = key.split(".")
+
+    def map_res(rest: str) -> str:
+        return rest.replace("nin_shortcut", "conv_shortcut", 1)
+
+    for side in ("encoder", "decoder"):
+        if parts[0] != side:
+            continue
+        if parts[1] == "conv_in" or parts[1] == "conv_out":
+            return key
+        if parts[1] == "norm_out":
+            return f"{side}.conv_norm_out." + ".".join(parts[2:])
+        if parts[1] == "mid":
+            rest = ".".join(parts[3:])
+            if parts[2] == "block_1":
+                return f"{side}.mid_block.resnets.0." + map_res(rest)
+            if parts[2] == "block_2":
+                return f"{side}.mid_block.resnets.1." + map_res(rest)
+            if parts[2] == "attn_1":
+                sub = parts[3]
+                leaf = ".".join(parts[4:])
+                return f"{side}.mid_block.attentions.0.{_LDM_VAE_ATTN_MAP[sub]}.{leaf}"
+        if parts[1] == "down":
+            i = int(parts[2])
+            if parts[3] == "block":
+                return f"encoder.down_blocks.{i}.resnets.{parts[4]}." + map_res(".".join(parts[5:]))
+            if parts[3] == "downsample":
+                return f"encoder.down_blocks.{i}.downsamplers.0." + ".".join(parts[4:])
+        if parts[1] == "up":
+            # LDM indexes decoder blocks high-res-first; diffusers/our decoder
+            # index in processing order (low-res first)
+            i = num_levels - 1 - int(parts[2])
+            if parts[3] == "block":
+                return f"decoder.up_blocks.{i}.resnets.{parts[4]}." + map_res(".".join(parts[5:]))
+            if parts[3] == "upsample":
+                return f"decoder.up_blocks.{i}.upsamplers.0." + ".".join(parts[4:])
+    if parts[0] in ("quant_conv", "post_quant_conv"):
+        return key
+    return None
+
+
+def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
+                           vae_levels: int = 4) -> Tuple[Dict, Dict, Dict]:
+    """Split an original single-file SD checkpoint into (unet_sd, vae_sd,
+    text_sd) in diffusers key format, feedable to the per-model converters.
+
+    Covers the reference's FromSingleFileMixin surface (reference
+    pipeline_interpolated_sd.py:283-289) for SD1.x-format checkpoints
+    (CLIP text encoder under cond_stage_model.transformer). SD2.x
+    OpenCLIP-format text encoders (cond_stage_model.model.*) are rejected
+    with a clear error. model_ema weights are ignored.
+    """
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    if any(k.startswith("cond_stage_model.model.") for k in sd):
+        raise ValueError(
+            "SD2.x OpenCLIP single-file checkpoints are not supported; "
+            "convert to the diffusers directory layout instead")
+
+    unet_sd, vae_sd, text_sd = {}, {}, {}
+    for k, v in sd.items():
+        if k.startswith("model_ema."):
+            continue
+        if k.startswith("model.diffusion_model."):
+            nk = _ldm_unet_key(k[len("model.diffusion_model."):], layers_per_block)
+            if nk is not None:
+                unet_sd[nk] = v
+        elif k.startswith("first_stage_model."):
+            nk = _ldm_vae_key(k[len("first_stage_model."):], vae_levels)
+            if nk is not None:
+                # LDM VAE attention q/k/v/proj_out are 1x1 convs; our
+                # attention is linear — squeeze to 2D
+                w = _to_numpy(v)
+                if ".attentions.0.to_" in nk and w.ndim == 4:
+                    w = w.reshape(w.shape[0], w.shape[1])
+                vae_sd[nk] = w
+        elif k.startswith("cond_stage_model.transformer."):
+            text_sd[k[len("cond_stage_model.transformer."):]] = v
+    return unet_sd, vae_sd, text_sd
+
+
 def merge_params(base: Dict, extra: Dict) -> Dict:
     """Deep-merge ``extra`` into a copy of ``base`` (e.g. IP weights into a
     converted UNet tree — the reference's load_ip_adapter step)."""

@@ -1,0 +1,189 @@
+"""Single-file (original LDM) checkpoint conversion tests.
+
+Reference surface: FromSingleFileMixin (pipeline_interpolated_sd.py:283-289).
+Strategy: build an LDM-format dict from the tiny flax trees via an inverse
+key map written HERE (non-circular vs the production mapping), run it
+through convert_ldm_checkpoint + the standard converters, and require the
+EXACT same tree as the subfolder-layout path.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aid_tpu.models import AutoencoderKL, CLIPTextModel, UNet2DCondition, configs
+from aid_tpu.models.params import (
+    convert_clip_text_state_dict,
+    convert_ldm_checkpoint,
+    convert_unet_state_dict,
+    convert_vae_state_dict,
+)
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_params import _flax_to_torch  # noqa: E402
+
+_RES_INV = {
+    "norm1": "in_layers.0",
+    "conv1": "in_layers.2",
+    "time_emb_proj": "emb_layers.1",
+    "norm2": "out_layers.0",
+    "conv2": "out_layers.3",
+    "conv_shortcut": "skip_connection",
+}
+
+
+def _unet_diffusers_to_ldm(key: str, cfg) -> str:
+    per = cfg.layers_per_block + 1
+    lb = cfg.layers_per_block
+
+    def inv_res(rest):
+        head = rest.split(".")[0]
+        return rest.replace(head, _RES_INV[head], 1) if head in _RES_INV else rest
+
+    m = re.match(r"time_embedding\.linear_(\d)\.(.*)", key)
+    if m:
+        return f"time_embed.{(int(m.group(1)) - 1) * 2}.{m.group(2)}"
+    if key.startswith("conv_in."):
+        return "input_blocks.0.0." + key[len("conv_in."):]
+    if key.startswith("conv_norm_out."):
+        return "out.0." + key[len("conv_norm_out."):]
+    if key.startswith("conv_out."):
+        return "out.2." + key[len("conv_out."):]
+    m = re.match(r"down_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", key)
+    if m:
+        b, l, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        return f"input_blocks.{1 + b * per + l}.0.{inv_res(rest)}"
+    m = re.match(r"down_blocks\.(\d+)\.attentions\.(\d+)\.(.*)", key)
+    if m:
+        b, l, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        return f"input_blocks.{1 + b * per + l}.1.{rest}"
+    m = re.match(r"down_blocks\.(\d+)\.downsamplers\.0\.conv\.(.*)", key)
+    if m:
+        b = int(m.group(1))
+        return f"input_blocks.{1 + b * per + lb}.0.op.{m.group(2)}"
+    m = re.match(r"mid_block\.resnets\.(\d)\.(.*)", key)
+    if m:
+        return f"middle_block.{int(m.group(1)) * 2}.{inv_res(m.group(2))}"
+    m = re.match(r"mid_block\.attentions\.0\.(.*)", key)
+    if m:
+        return f"middle_block.1.{m.group(1)}"
+    m = re.match(r"up_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", key)
+    if m:
+        b, l, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        return f"output_blocks.{b * per + l}.0.{inv_res(rest)}"
+    m = re.match(r"up_blocks\.(\d+)\.attentions\.(\d+)\.(.*)", key)
+    if m:
+        b, l, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        return f"output_blocks.{b * per + l}.1.{rest}"
+    m = re.match(r"up_blocks\.(\d+)\.upsamplers\.0\.conv\.(.*)", key)
+    if m:
+        b = int(m.group(1))
+        # upsample is sub-module 2 when the block carries attention, else 1
+        level = cfg.num_levels - 1 - b  # up block b mirrors this level
+        j = 2 if cfg.cross_attention_levels[level] else 1
+        return f"output_blocks.{b * per + lb}.{j}.conv.{m.group(2)}"
+    raise KeyError(key)
+
+
+def _vae_diffusers_to_ldm(key: str, num_levels: int):
+    attn_inv = {"group_norm": "norm", "to_q": "q", "to_k": "k", "to_v": "v",
+                "to_out.0": "proj_out"}
+    k = key.replace("conv_shortcut", "nin_shortcut")
+    k = k.replace("conv_norm_out", "norm_out")
+    m = re.match(r"(encoder|decoder)\.mid_block\.resnets\.(\d)\.(.*)", k)
+    if m:
+        return f"{m.group(1)}.mid.block_{int(m.group(2)) + 1}.{m.group(3)}", False
+    m = re.match(r"(encoder|decoder)\.mid_block\.attentions\.0\.(to_out\.0|\w+)\.(.*)", k)
+    if m:
+        return f"{m.group(1)}.mid.attn_1.{attn_inv[m.group(2)]}.{m.group(3)}", True
+    m = re.match(r"encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", k)
+    if m:
+        return f"encoder.down.{m.group(1)}.block.{m.group(2)}.{m.group(3)}", False
+    m = re.match(r"encoder\.down_blocks\.(\d+)\.downsamplers\.0\.(.*)", k)
+    if m:
+        return f"encoder.down.{m.group(1)}.downsample.{m.group(2)}", False
+    m = re.match(r"decoder\.up_blocks\.(\d+)\.resnets\.(\d+)\.(.*)", k)
+    if m:
+        i = num_levels - 1 - int(m.group(1))
+        return f"decoder.up.{i}.block.{m.group(2)}.{m.group(3)}", False
+    m = re.match(r"decoder\.up_blocks\.(\d+)\.upsamplers\.0\.(.*)", k)
+    if m:
+        i = num_levels - 1 - int(m.group(1))
+        return f"decoder.up.{i}.upsample.{m.group(2)}", False
+    return k, False  # conv_in/out, norm_out, quant convs
+
+
+def _tree_equal(a, b):
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = jax.tree_util.tree_leaves_with_path(b)
+    assert len(fa) == len(fb)
+    for (pa, va), (pb, vb) in zip(sorted(fa, key=lambda t: str(t[0])),
+                                  sorted(fb, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb), f"{pa} != {pb}"
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+class TestSingleFileConversion:
+    def test_unet_matches_subfolder_path(self):
+        cfg = configs.TINY_UNET
+        unet = UNet2DCondition(cfg)
+        s = cfg.sample_size
+        params = unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)), jnp.array(0),
+            jnp.zeros((1, 7, cfg.cross_attention_dim)))
+        dsd = _flax_to_torch(params["params"])
+        ldm = {"model.diffusion_model." + _unet_diffusers_to_ldm(k, cfg): v
+               for k, v in dsd.items()}
+        unet_sd, _, _ = convert_ldm_checkpoint(ldm, layers_per_block=cfg.layers_per_block)
+        assert set(unet_sd.keys()) == set(dsd.keys())
+        _tree_equal(convert_unet_state_dict(unet_sd), params)
+
+    def test_vae_matches_subfolder_path(self):
+        cfg = configs.TINY_VAE
+        vae = AutoencoderKL(cfg)
+        params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+        dsd = _flax_to_torch(params["params"])
+        n = len(cfg.block_out_channels)
+        ldm = {}
+        for k, v in dsd.items():
+            nk, is_attn = _vae_diffusers_to_ldm(k, n)
+            if is_attn and v.ndim == 2:  # LDM VAE attention is 1x1 conv
+                v = v.reshape(*v.shape, 1, 1)
+            ldm["first_stage_model." + nk] = v
+        _, vae_sd, _ = convert_ldm_checkpoint(ldm, vae_levels=n)
+        assert set(vae_sd.keys()) == set(dsd.keys())
+        _tree_equal(convert_vae_state_dict(vae_sd), params)
+
+    def test_text_encoder_and_ema_skip(self):
+        cfg = configs.TINY_CLIP_TEXT
+        model = CLIPTextModel(cfg)
+        params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 16), jnp.int32))
+        sd = {}
+        for k, v in _flax_to_torch(params["params"]).items():
+            if "token_embedding" in k or "position_embedding" in k:
+                k = "embeddings." + k
+            elif k.startswith("layers."):
+                k = "encoder." + k
+            sd["cond_stage_model.transformer.text_model." + k] = v
+        sd["model_ema.decay"] = np.float32(0.999)  # must be ignored
+        _, _, text_sd = convert_ldm_checkpoint(sd)
+        converted = convert_clip_text_state_dict(text_sd)
+        ids = jnp.array([[1, 5, 2, 2]])
+        a, _, _ = model.apply(params, ids)
+        b, _, _ = model.apply(converted, ids)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_sd2_openclip_rejected(self):
+        with pytest.raises(ValueError, match="OpenCLIP"):
+            convert_ldm_checkpoint({"cond_stage_model.model.ln_final.weight": np.zeros(4)})
+
+    def test_state_dict_unwrap(self):
+        inner = {"model.diffusion_model.out.0.weight": np.ones(3, np.float32)}
+        unet_sd, _, _ = convert_ldm_checkpoint({"state_dict": inner})
+        assert "conv_norm_out.weight" in unet_sd
