@@ -18,6 +18,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 
+# Test tiering: compile-heavy modules are auto-marked slow so the default
+# CI gate (-m "not slow") stays fast; the full suite runs as a second job.
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_flash_attention.py",  # interpret-mode Pallas kernels
+    "test_parallel.py",  # 8-device mesh denoise loops
+    "test_golden.py",  # full tiny-pipeline generations
+    "test_pipeline.py",  # end-to-end pipeline integration
+    "test_loaders_extras.py",  # safety-checker pipeline integration
+    "test_sdxl_ip.py",  # SDXL + IP-Adapter integration
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
+
 # Build native components (cheap; skipped silently if toolchain missing).
 import subprocess
 _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
