@@ -40,6 +40,17 @@ class InterpolationXLPipeline(InterpolationPipeline):
     tokenizer_2: Any = None
     guidance_scale: float = 5.0
     default_size: int = 1024
+    # Invisible watermark applied to every decoded frame when set (reference
+    # sdxl:2398-2401 / add_watermarker flag; None = off, like the reference
+    # with invisible-watermark unavailable). Use
+    # aid_tpu.utils.watermark.InvisibleWatermark().
+    watermarker: Any = None
+
+    def _decode(self, latents, per_frame: bool = False):
+        images = super()._decode(latents, per_frame=per_frame)
+        if self.watermarker is not None:
+            images = self.watermarker.apply(images)
+        return images
 
     def _effective_steps(self, num_inference_steps: int, denoising_end: Optional[float]) -> int:
         """denoising_end support (reference sdxl:2204-2220): stop the loop at
