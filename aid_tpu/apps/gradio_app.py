@@ -1,35 +1,78 @@
 """Gradio web UI for attention interpolation.
 
 Feature parity with the reference app (reference gradio_src/app.py):
-  * model switcher (app.py:65-87)
+  * model switcher with per-model defaults applied on switch (app.py:65-87:
+    SD pipelines rebuild with guidance 10/unipc/fp32, SDXL fp16)
   * Beta-PPF coefficient-schedule preview plot (app.py:105-112, 320-339)
+  * examples gallery (app.py:115-186)
+  * ENABLE_CPU_OFFLOAD env toggle (app.py:53) — here it selects the CPU
+    backend (the TPU analog of cpu-offload: keep the chip free)
   * generate() stitches interpolate_single over the Beta schedule middles
     (app.py:202-269) — here it instead runs ONE batched interpolate() call
     (all frames in a single device program)
   * controls: size 3-15, alpha, beta, warmup ratio, guidance scale, steps,
     early/late method, seed, same_latent (app.py:294-429)
 
-gradio is not bundled in this image; importing this module without gradio
-raises a clear error. Run: python -m aid_tpu.apps.gradio_app /path/to/ckpt
+gradio is not bundled in this image; the pure-python pieces (examples,
+defaults, beta plot data) are importable and unit-tested without it, and
+build_app() raises a clear error where gradio is unavailable.
+Run: python -m aid_tpu.apps.gradio_app /path/to/ckpt
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
-try:
-    import gradio as gr
-except ImportError as e:  # pragma: no cover - gradio not in the image
-    raise ImportError(
-        "gradio is not installed in this environment; the app module is "
-        "provided for feature parity and runs where gradio is available"
-    ) from e
-
 from aid_tpu.ops.interp import generate_beta_schedule
-from aid_tpu.utils.images import to_pil
 
 EARLY_CHOICES = ["fused_outer", "pure_outer", "fused_inner", "pure_inner"]
 LATE_CHOICES = ["self"] + EARLY_CHOICES
+
+ENABLE_CPU_OFFLOAD = os.getenv("ENABLE_CPU_OFFLOAD") == "1"
+
+# Per-model defaults applied when the switcher changes (reference
+# change_model_fn app.py:65-87: SD variants rebuild at fp32/unipc/guidance 10,
+# SDXL at fp16 with its pipeline defaults).
+MODEL_DEFAULTS = {
+    "sd15": {"guidance": 10.0, "steps": 25, "scheduler": "unipc", "size_px": 512},
+    "sd21": {"guidance": 10.0, "steps": 25, "scheduler": "unipc", "size_px": 768},
+    "sdxl": {"guidance": 5.0, "steps": 28, "scheduler": "auto", "size_px": 1024},
+}
+
+
+def model_defaults(name: str) -> dict:
+    return MODEL_DEFAULTS.get(name, MODEL_DEFAULTS["sd15"])
+
+
+def get_examples():
+    """Reference examples gallery (gradio_src/app.py:115-186), columns:
+    [prompt1, prompt2, guide_prompt, negative_prompt, model, size, alpha,
+    beta, warmup_ratio, guidance, steps, early, late, seed, same_latent]."""
+    neg = "monochrome, lowres, bad anatomy, worst quality, low quality"
+    neg_xl = "photo, photorealistic, realism, ugly, messy background"
+    return [
+        ["A photo of dog, best quality, extremely detailed",
+         "A photo of car, best quality, extremely detailed",
+         "A car with dog furry texture, best quality, extremely detailed",
+         neg, "sd15", 3, 6.0, 3.0, 6.1 / 50, 10.0, 50, "fused_inner", "self", 1002, True],
+        ["A photo of dog, best quality, extremely detailed",
+         "A photo of car, best quality, extremely detailed",
+         "A toy named dog-car, best quality, extremely detailed",
+         neg, "sd15", 7, 8.0, 8.0, 8.1 / 50, 10.0, 50, "fused_inner", "self", 1002, True],
+        ["anime artwork a Pikachu sitting on the grass, dramatic, anime style, "
+         "key visual, vibrant, studio anime, highly detailed",
+         "anime artwork a beautiful girl, dramatic, anime style, key visual, "
+         "vibrant, studio anime, highly detailed",
+         None, neg_xl, "sdxl", 7, 10.0, 6.0, 0.5, 10.0, 50, "fused_outer", "self", 1002, False],
+        ["vaporwave synthwave style Los Angeles street. cyberpunk, neon, vibes, "
+         "stunningly beautiful, crisp, detailed, sleek, ultramodern, high "
+         "contrast, cinematic composition",
+         "cinematic film still, stormtrooper taking aim. shallow depth of "
+         "field, vignette, highly detailed, high budget Hollywood movie, "
+         "bokeh, cinemascope, moody, epic, gorgeous, film grain",
+         None, neg_xl, "sdxl", 7, 530.0, 602.0, 0.5, 10.0, 50, "fused_outer", "self", 1002, False],
+    ]
 
 
 def beta_plot_data(size: int, alpha: float, beta: float):
@@ -39,6 +82,16 @@ def beta_plot_data(size: int, alpha: float, beta: float):
 
 def build_app(pipeline_factory):
     """pipeline_factory(model_name) -> InterpolationPipeline."""
+    try:
+        import gradio as gr
+    except ImportError as e:  # pragma: no cover - gradio not in the image
+        raise ImportError(
+            "gradio is not installed in this environment; the app module is "
+            "provided for feature parity and runs where gradio is available"
+        ) from e
+
+    from aid_tpu.utils.images import to_pil
+
     state = {"name": None, "pipe": None}
 
     def get_pipe(model_name):
@@ -68,9 +121,7 @@ def build_app(pipeline_factory):
 
     with gr.Blocks(title="AID/PAID on TPU") as demo:
         gr.Markdown("# Attention Interpolation (AID/PAID) — TPU-native")
-        model = gr.Dropdown(
-            ["sd15", "sd21", "sdxl"], value="sd15", label="Model",
-        )
+        model = gr.Dropdown(list(MODEL_DEFAULTS), value="sd15", label="Model")
         with gr.Row():
             prompt1 = gr.Textbox(label="Prompt A")
             prompt2 = gr.Textbox(label="Prompt B")
@@ -92,26 +143,44 @@ def build_app(pipeline_factory):
         plot = gr.LinePlot(x="x", y="y", label="Beta schedule preview")
         for ctl in (size, alpha, beta):
             ctl.change(beta_plot_data, [size, alpha, beta], plot)
+
+        def on_model_change(name):
+            d = model_defaults(name)
+            return gr.update(value=d["guidance"]), gr.update(value=d["steps"])
+
+        model.change(on_model_change, [model], [guidance, steps])
+
         gallery = gr.Gallery(label="Interpolation sequence")
         btn = gr.Button("Generate")
-        btn.click(
-            generate,
-            [model, prompt1, prompt2, guide, negative, size, alpha, beta,
-             warmup, guidance, steps, early, late, seed, same_latent],
-            gallery,
+        inputs = [model, prompt1, prompt2, guide, negative, size, alpha, beta,
+                  warmup, guidance, steps, early, late, seed, same_latent]
+        btn.click(generate, inputs, gallery)
+        gr.Examples(
+            examples=[[e[0], e[1], e[2], e[3], e[4], e[5], e[6], e[7], e[8],
+                       e[9], e[10], e[11], e[12], e[13], e[14]] for e in get_examples()],
+            inputs=[prompt1, prompt2, guide, negative, model, size, alpha,
+                    beta, warmup, guidance, steps, early, late, seed, same_latent],
+            label="Examples (reference gallery)",
         )
     return demo
 
 
 def main():  # pragma: no cover
+    if ENABLE_CPU_OFFLOAD:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from aid_tpu.models.loader import load_interpolation_pipeline, load_interpolation_xl_pipeline
 
     root = sys.argv[1]
 
     def factory(name):
+        d = model_defaults(name)
         if name == "sdxl":
-            return load_interpolation_xl_pipeline(root)
-        return load_interpolation_pipeline(root)
+            return load_interpolation_xl_pipeline(root, scheduler_name=d["scheduler"])
+        return load_interpolation_pipeline(
+            root, scheduler_name=d["scheduler"], guidance_scale=d["guidance"])
 
     build_app(factory).launch()
 

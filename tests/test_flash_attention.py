@@ -120,6 +120,20 @@ def test_skip_endpoints_cfg_uncond_rows():
     np.testing.assert_allclose(np.asarray(out[n:]), np.asarray(vanilla), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("mode", ["self", "fused_outer"])
+@pytest.mark.parametrize("L", [511, 512])
+def test_dispatch_threshold_boundary(mode, L):
+    """dispatch_attention switches xla -> flash at KV length 512
+    (ops/attention.py); both paths must agree at the boundary shapes so
+    crossing the threshold cannot change results."""
+    B, H, S, D = 3, 2, 64, 64
+    q, k, v, coef = _data(B, H, S, L, D, seed=L)
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(
+        q, k, v, coef, mode, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_random_shapes(seed):
     """Random shapes/modes/dtypes vs the jnp reference (interpret mode)."""
