@@ -172,16 +172,51 @@ def convert_clip_vision_state_dict(sd: Dict[str, Any]) -> Dict:
     return convert_torch_state_dict(remapped)
 
 
+def convert_resampler_state_dict(sd: Dict[str, Any]) -> Dict:
+    """IP-Adapter-Plus image_proj (perceiver resampler) -> Resampler params.
+
+    Original checkpoint layout (h94/IP-Adapter plus variants):
+      latents, proj_in/out.*, norm_out.*,
+      layers.<i>.0.{norm1,norm2,to_q,to_kv,to_out}.*   (PerceiverAttention)
+      layers.<i>.1.{0,1,3}.*                            (LN, fc1, GELU, fc2)
+    """
+    tree: Dict = {}
+    for k, v in sd.items():
+        w = _to_numpy(v)
+        if k == "latents":
+            tree["latents"] = w
+            continue
+        parts = k.split(".")
+        if parts[0] in ("proj_in", "proj_out", "norm_out"):
+            name, w = _convert_leaf(parts[1], w, "")
+            _assign(tree, (parts[0], name), w)
+        elif parts[0] == "layers":
+            i = parts[1]
+            if parts[2] == "0":  # attention block
+                name, w = _convert_leaf(parts[4], w, "")
+                _assign(tree, (f"layers_{i}_attn", parts[3], name), w)
+            else:  # ffn Sequential: 0=LayerNorm, 1=fc1, 3=fc2
+                sub = {"0": "ff_norm", "1": "ff_fc1", "3": "ff_fc2"}[parts[3]]
+                name, w = _convert_leaf(parts[4], w, "")
+                _assign(tree, (f"layers_{i}_{sub}", name), w)
+    return {"params": tree}
+
+
 def convert_ip_adapter_state_dict(sd: Dict[str, Any], unet_cross_attn_names) -> Tuple[Dict, Dict]:
-    """IP-Adapter checkpoint -> (per-layer to_k_ip/to_v_ip tree, ImageProjection params).
+    """IP-Adapter checkpoint -> (per-layer to_k_ip/to_v_ip tree, image-projection params).
 
     Checkpoint format (h94/IP-Adapter): {'image_proj': {proj|norm...},
     'ip_adapter': {'<idx>.to_k_ip.weight', ...}} where <idx> counts UNet
     attention processors in diffusers order and only odd indices (attn2)
     carry weights. ``unet_cross_attn_names``: flax module paths of the
     cross-attention layers in that same order (see unet_attention_order).
+    Plus variants (resampler image_proj, detected by the 'latents' key)
+    convert via convert_resampler_state_dict.
     """
-    image_proj = convert_torch_state_dict(sd["image_proj"])
+    if "latents" in sd["image_proj"]:
+        image_proj = convert_resampler_state_dict(sd["image_proj"])
+    else:
+        image_proj = convert_torch_state_dict(sd["image_proj"])
 
     ip = sd["ip_adapter"]
     idxs = sorted({int(k.split(".")[0]) for k in ip.keys()})

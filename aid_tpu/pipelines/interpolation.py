@@ -173,10 +173,14 @@ class InterpolationPipeline:
         image_proj / ip_adapter) or a path to its .safetensors/.bin.
         Merges the per-layer to_k_ip/to_v_ip kernels into the UNet params
         (the UNet config must have ip_num_tokens > 0) and attaches the
-        image projection. ``early='scale_control'`` selects the
-        ScaleControl behavior.
+        image projection. Plus variants (resampler image_proj, detected by
+        the 'latents' key) project the CLIP vision PENULTIMATE hidden
+        states — encode_image switches automatically. ``early=
+        'scale_control'`` selects the ScaleControl behavior.
         """
-        from aid_tpu.models.ip_adapter import ImageProjection
+        import numpy as np
+
+        from aid_tpu.models.ip_adapter import ImageProjection, Resampler
         from aid_tpu.models.params import (
             convert_ip_adapter_state_dict,
             load_safetensors,
@@ -193,10 +197,28 @@ class InterpolationPipeline:
         order = unet_attention_order(self.unet.config)
         ip_tree, proj_params = convert_ip_adapter_state_dict(checkpoint, order)
         self.unet_params = merge_params(self.unet_params, ip_tree)
-        self.ip_proj = ImageProjection(
-            cross_attention_dim=self.unet.config.cross_attention_dim,
-            num_tokens=self.unet.config.ip_num_tokens,
-        )
+        if "latents" in checkpoint["image_proj"]:  # plus variant
+            lat = np.asarray(checkpoint["image_proj"]["latents"])
+            hidden_dim, nq = lat.shape[2], lat.shape[1]
+            assert nq == self.unet.config.ip_num_tokens, (
+                f"plus checkpoint has {nq} queries, UNet config expects "
+                f"{self.unet.config.ip_num_tokens} ip tokens")
+            depth = 1 + max(int(k.split(".")[1]) for k in checkpoint["image_proj"]
+                            if k.startswith("layers."))
+            self.ip_proj = Resampler(
+                cross_attention_dim=self.unet.config.cross_attention_dim,
+                embed_dim=np.asarray(checkpoint["image_proj"]["proj_in.weight"]).shape[1],
+                hidden_dim=hidden_dim, depth=depth,
+                heads=max(1, hidden_dim // 64),  # h94 plus: 768->12, 1280->20
+                num_queries=nq,
+            )
+            self.ip_plus = True
+        else:
+            self.ip_proj = ImageProjection(
+                cross_attention_dim=self.unet.config.cross_attention_dim,
+                num_tokens=self.unet.config.ip_num_tokens,
+            )
+            self.ip_plus = False
         self.ip_proj_params = proj_params
         self.ip_scale = scale
         self.scale_control = early == "scale_control"
@@ -220,14 +242,17 @@ class InterpolationPipeline:
         return self
 
     def encode_image(self, images) -> jnp.ndarray:
-        """Images (N,H,W,3) -> CLIP image embeds (N, D) via the attached
-        image encoder (reference encode_image, sd:661-692)."""
+        """Images (N,H,W,3) -> CLIP image embeds via the attached encoder
+        (reference encode_image, sd:661-692). Standard adapters take the
+        projected pooled embeds (N, D); plus adapters take the PENULTIMATE
+        hidden states (N, S, D) — selected by the loaded adapter type
+        (reference passes output_hidden_states for plus, sd:676-690)."""
         assert getattr(self, "image_encoder", None) is not None, "no image encoder attached"
         from aid_tpu.prior.clip_scorer import preprocess
 
         px = preprocess(jnp.asarray(images), self.image_encoder.config.image_size)
-        embeds, _ = self.image_encoder.apply(self.image_encoder_params, px)
-        return embeds
+        embeds, penultimate = self.image_encoder.apply(self.image_encoder_params, px)
+        return penultimate if getattr(self, "ip_plus", False) else embeds
 
     # ------------------------------------------------------------------
     # core generation

@@ -219,6 +219,71 @@ class TestIPAdapterLoading:
         pipe.load_aid(is_fused=False, atype="inner")
         assert pipe.default_early == "pure_inner"
 
+    def test_load_ip_adapter_plus_resampler(self):
+        """Plus checkpoints (resampler image_proj, 'latents' key) must build
+        a Resampler over CLIP penultimate hidden states (reference loads
+        h94 ip-adapter-plus via load_ip_adapter; diffusers
+        IPAdapterPlusImageProjection)."""
+        import numpy as np
+        from aid_tpu.models.ip_adapter import Resampler
+        from aid_tpu.models.params import unet_attention_order
+
+        cfg = configs.TINY_UNET_IP
+        pipe = tiny_pipeline(unet_cfg=cfg)
+        order = unet_attention_order(cfg)
+        rng = np.random.default_rng(3)
+        hidden, embed_dim, nq, depth = 16, 16, cfg.ip_num_tokens, 2
+        inner = 64  # max(1, hidden // 64) head x dim_head 64
+
+        def lin(o, i):
+            return rng.normal(size=(o, i)).astype(np.float32) * 0.05
+
+        image_proj = {
+            "latents": rng.normal(size=(1, nq, hidden)).astype(np.float32),
+            "proj_in.weight": lin(hidden, embed_dim),
+            "proj_in.bias": np.zeros(hidden, np.float32),
+            "proj_out.weight": lin(cfg.cross_attention_dim, hidden),
+            "proj_out.bias": np.zeros(cfg.cross_attention_dim, np.float32),
+            "norm_out.weight": np.ones(cfg.cross_attention_dim, np.float32),
+            "norm_out.bias": np.zeros(cfg.cross_attention_dim, np.float32),
+        }
+        for i in range(depth):
+            for ln in ("norm1", "norm2"):
+                image_proj[f"layers.{i}.0.{ln}.weight"] = np.ones(hidden, np.float32)
+                image_proj[f"layers.{i}.0.{ln}.bias"] = np.zeros(hidden, np.float32)
+            image_proj[f"layers.{i}.0.to_q.weight"] = lin(inner, hidden)
+            image_proj[f"layers.{i}.0.to_kv.weight"] = lin(2 * inner, hidden)
+            image_proj[f"layers.{i}.0.to_out.weight"] = lin(hidden, inner)
+            image_proj[f"layers.{i}.1.0.weight"] = np.ones(hidden, np.float32)
+            image_proj[f"layers.{i}.1.0.bias"] = np.zeros(hidden, np.float32)
+            image_proj[f"layers.{i}.1.1.weight"] = lin(4 * hidden, hidden)
+            image_proj[f"layers.{i}.1.3.weight"] = lin(hidden, 4 * hidden)
+
+        sd = {"image_proj": image_proj, "ip_adapter": {}}
+        for li, path in enumerate(order):
+            level = 0 if path[0].startswith(("down_blocks_0", "up_blocks_1")) else 1
+            ch = cfg.block_out_channels[level]
+            for proj in ("to_k_ip", "to_v_ip"):
+                sd["ip_adapter"][f"{2 * li + 1}.{proj}.weight"] = lin(ch, cfg.cross_attention_dim)
+
+        pipe.load_aid_ip_adapter(sd, scale=0.8)
+        assert isinstance(pipe.ip_proj, Resampler)
+        assert pipe.ip_plus and pipe.ip_proj.depth == depth
+        assert pipe.ip_proj.num_queries == nq
+
+        # projection runs on SEQUENCE inputs (penultimate hidden states) and
+        # the full pipeline generates with it
+        seq = jnp.asarray(rng.normal(size=(1, 5, embed_dim)).astype(np.float32))
+        tokens = pipe._project_ip(seq)
+        assert tokens.shape == (1, nq, cfg.cross_attention_dim)
+        out = pipe.interpolate_single(
+            0.5, prompt_start="x", prompt_end="y",
+            image_embeds_start=seq, image_embeds_end=seq * -1.0,
+            num_inference_steps=2,
+        )
+        assert out.shape == (3, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
+
 
 class TestDenoisingEnd:
     def test_truncated_loop_returns_latents(self, xl_pipe):
