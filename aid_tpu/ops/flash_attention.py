@@ -73,6 +73,7 @@ def _kernel(
     n_self: int,
     n_begin: int,
     n_steps: int,
+    needs_mask: bool,
 ):
     j = pl.program_id(3)
     b = pl.program_id(0)
@@ -94,7 +95,6 @@ def _kernel(
     # phase of this block in the packed stream and its valid end column
     in_self = j < n_self
     in_begin = jnp.logical_and(j >= n_self, j < n_self + n_begin)
-    valid = jnp.where(in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2]))
 
     # Per-row endpoint skip: rows whose endpoint segments provably reduce to
     # vanilla attention (coef-0/1 endpoint frames; batched-CFG uncond rows
@@ -108,8 +108,16 @@ def _kernel(
             q, read(k_ref), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        s = jnp.where(col + base < valid, s, NEG_INF)
+        if needs_mask:
+            # Only traced when some segment length is not a block_k multiple
+            # — the hot self-attention shapes (4096/1024/256) divide evenly,
+            # so their kernels skip this VPU pass entirely (per-block
+            # iota+compare+select is comparable to the QK MXU cost).
+            valid = jnp.where(
+                in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2])
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+            s = jnp.where(col + base < valid, s, NEG_INF)
         v_blk = read(v_ref)
 
         def update(idx):
@@ -254,6 +262,9 @@ def flash_interpolated_attention(
     # inner's cross phase masks via the "begin" slot
     lens = jnp.array([self_end, begin_end, end_end], jnp.int32)
 
+    needs_mask = (include_self and Lkp != Lk) or (
+        (mode.is_outer or mode.is_inner) and Lep != Le
+    )
     kernel = functools.partial(
         _kernel,
         mode=mode,
@@ -262,6 +273,7 @@ def flash_interpolated_attention(
         n_self=n_self,
         n_begin=n_begin,
         n_steps=n_steps,
+        needs_mask=needs_mask,
     )
 
     q_spec = pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0))
