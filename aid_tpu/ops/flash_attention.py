@@ -63,9 +63,9 @@ def _kernel(
     # output
     o_ref,  # (1, 1, bq, Dp)
     # scratch
-    m_ref,  # (2, bq, LANES) f32
-    l_ref,  # (2, bq, LANES) f32
-    acc_ref,  # (2, bq, Dp) f32
+    m_ref,  # (bq, LANES) f32, shared across sets
+    l_ref,  # (n_sets, bq, LANES) f32
+    acc_ref,  # (n_sets, bq, Dp) f32
     *,
     mode: AttnMode,
     scale: float,
@@ -120,31 +120,42 @@ def _kernel(
             s = jnp.where(col + base < valid, s, NEG_INF)
         v_blk = read(v_ref)
 
-        def update(idx):
-            m_old = m_ref[idx, :, :1]
-            m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(s - m_new)
-            l_new = l_ref[idx, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_ref[idx] = acc_ref[idx] * alpha + pv
-            m_ref[idx] = jnp.broadcast_to(m_new, (bq, LANES))
-            l_ref[idx] = jnp.broadcast_to(l_new, (bq, LANES))
+        # SHARED running max across both accumulator sets: m is only a
+        # stability offset, so one max over everything seen keeps each set's
+        # softmax exact while letting self blocks (fused modes) compute
+        # exp(s-m) and the PV matmul ONCE and credit BOTH sets — vs the
+        # per-set formulation that doubled the exp + PV work on the
+        # dominant (own-KV) segment of the stream.
+        m_old = m_ref[:, :1]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new)
+        rowsum = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = jnp.broadcast_to(m_new, (bq, LANES))
 
         if not two_sets:
-            update(0)
+            l_ref[0] = l_ref[0] * alpha + rowsum
+            acc_ref[0] = acc_ref[0] * alpha + pv
         else:
-            # self blocks update both sets; begin -> set 0; end -> set 1
-            @pl.when(jnp.logical_or(in_self, in_begin))
-            def _():
-                update(0)
+            upd0 = jnp.logical_or(in_self, in_begin)
+            upd1 = jnp.logical_or(
+                in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))
+            )
+            # both sets rescale by the shared alpha every block; the l/acc
+            # contribution lands only in the set(s) this phase feeds
+            w0 = jnp.where(upd0, 1.0, 0.0).astype(jnp.float32)
+            w1 = jnp.where(upd1, 1.0, 0.0).astype(jnp.float32)
+            l_ref[0] = l_ref[0] * alpha + w0 * rowsum
+            l_ref[1] = l_ref[1] * alpha + w1 * rowsum
+            acc_ref[0] = acc_ref[0] * alpha + w0 * pv
+            acc_ref[1] = acc_ref[1] * alpha + w1 * pv
 
-            @pl.when(jnp.logical_or(in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))))
-            def _():
-                update(1)
+    # skipped endpoint blocks contribute nothing and m does not move, so the
+    # inactive branch needs no rescale at all.
 
     @pl.when(j == n_steps - 1)
     def _finalize():
@@ -160,7 +171,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d"),
 )
 def flash_interpolated_attention(
     q: jnp.ndarray,  # (B, H, Sq, D)
@@ -177,6 +188,7 @@ def flash_interpolated_attention(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    pad_d: bool = True,
 ) -> jnp.ndarray:
     """Flash interpolated attention (see module docstring).
 
@@ -207,7 +219,10 @@ def flash_interpolated_attention(
         k_end, v_end = k[-1], v[-1]
     Le = k_begin.shape[ep_seq_ax]
 
-    Dp = _ceil_to(D, LANES)
+    # pad_d=False keeps the head dim unpadded (legal: a block dim equal to
+    # the full array dim bypasses the div-128 lane rule) — halves q/k/v/out
+    # DMA for D=64 at the cost of Mosaic's internal lane padding on the dots.
+    Dp = _ceil_to(D, LANES) if pad_d else D
     block_q = min(block_q, _ceil_to(Sq, LANES))
     block_k = min(block_k, _ceil_to(max(Lk, Le), LANES))
     Sqp = _ceil_to(Sq, block_q)
@@ -265,6 +280,7 @@ def flash_interpolated_attention(
     needs_mask = (include_self and Lkp != Lk) or (
         (mode.is_outer or mode.is_inner) and Lep != Le
     )
+    n_sets = 2 if mode.is_outer else 1
     kernel = functools.partial(
         _kernel,
         mode=mode,
@@ -286,9 +302,9 @@ def flash_interpolated_attention(
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, block_q, LANES), jnp.float32),
-            pltpu.VMEM((2, block_q, LANES), jnp.float32),
-            pltpu.VMEM((2, block_q, Dp), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),  # shared running max
+            pltpu.VMEM((n_sets, block_q, LANES), jnp.float32),
+            pltpu.VMEM((n_sets, block_q, Dp), jnp.float32),
         ],
     )
 
