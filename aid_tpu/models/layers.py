@@ -132,6 +132,47 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+class Conv3x3(nn.Module):
+    """3x3 same-padding conv; shift-and-matmul lowering on deep levels.
+
+    XLA's implicit-GEMM conv lowering reaches only ~45% of the chip's
+    measured matmul rate at the UNet's deeper levels, while nine shifted
+    (B*H*W, Cin) @ (Cin, Cout) GEMMs reach ~1.6x that at ch>=1280/hw<=32
+    and ~1.1x at ch640/hw64 (v5e, tools/opt_results.jsonl). At the shallow
+    high-resolution levels the implicit GEMM wins, so the lowering is
+    picked per shape. Param layout matches nn.Conv (HWIO kernel + bias),
+    keeping every checkpoint converter unchanged.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        w = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        _, H, W, _ = x.shape
+        if H * W <= 4096 and cin >= 640:
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out = None
+            for dy in range(3):
+                for dx in range(3):
+                    t = jnp.einsum(
+                        "bhwc,co->bhwo", xp[:, dy:dy + H, dx:dx + W, :], w[dy, dx],
+                        preferred_element_type=jnp.float32)
+                    out = t if out is None else out + t
+            return (out + b.astype(jnp.float32)).astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + b
+
+
 class ResnetBlock2D(nn.Module):
     """diffusers ResnetBlock2D: GN-SiLU-Conv x2 with timestep injection."""
 
@@ -144,12 +185,12 @@ class ResnetBlock2D(nn.Module):
         in_channels = x.shape[-1]
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
         temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + temb[:, None, None, :]
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h
@@ -175,7 +216,7 @@ class Upsample2D(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv")(x)
+        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
 
 
 class CrossAttention(nn.Module):

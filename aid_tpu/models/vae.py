@@ -51,9 +51,14 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) * (c ** -0.5)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+        # At 1024px this is a 16384-token single-head attention: the XLA
+        # path materializes a (hw, hw) f32 logit tensor (~1 GB/frame), so
+        # route through the flash kernel (C=512 is lane-aligned; one head).
+        from aid_tpu.ops.attention import AttnMode, dispatch_attention
+
+        out = dispatch_attention(
+            q[:, None], k[:, None], v[:, None],
+            jnp.zeros((b,), jnp.float32), AttnMode.SELF)[:, 0]
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return res + out.reshape(b, h, w, c)
 
