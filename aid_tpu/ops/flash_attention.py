@@ -235,7 +235,10 @@ def flash_interpolated_attention(
     # pad_d=False keeps the head dim unpadded (legal: a block dim equal to
     # the full array dim bypasses the div-128 lane rule) — halves q/k/v/out
     # DMA for D=64 at the cost of Mosaic's internal lane padding on the dots.
-    Dp = _ceil_to(D, LANES) if pad_d else D
+    # Only valid within one lane tile: D>128 non-multiples (e.g. SD1.5's
+    # 160-dim heads) must pad, or the TPU runtime rejects the layout.
+    unpadded_ok = D <= LANES or D % LANES == 0
+    Dp = _ceil_to(D, LANES) if (pad_d or not unpadded_ok) else D
     block_q = min(block_q, _ceil_to(Sq, LANES))
     block_k = min(block_k, _ceil_to(max(Lk, Le), LANES))
     Sqp = _ceil_to(Sq, block_q)

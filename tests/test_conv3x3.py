@@ -1,0 +1,47 @@
+"""Conv3x3 lowering equivalence: the shift-and-matmul path must match
+nn.Conv (same params, same outputs) for every shape class the heuristic
+routes (see aid_tpu/models/layers.py::Conv3x3, PERF.md round-2 log)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+import pytest
+
+from aid_tpu.models.layers import Conv3x3
+
+
+@pytest.mark.parametrize(
+    "hw,cin,cout",
+    [
+        (8, 640, 320),    # shift9 path (deep level)
+        (8, 1280, 1280),  # shift9 path
+        (16, 320, 320),   # lax path (cin < 640)
+        (4, 704, 64),     # shift9, non-square channel change
+    ],
+)
+def test_conv3x3_matches_nn_conv(hw, cin, cout):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, hw, hw, cin), jnp.float32)
+    ref = nn.Conv(cout, (3, 3), padding=((1, 1), (1, 1)))
+    mine = Conv3x3(cout)
+    p = ref.init(jax.random.PRNGKey(1), x)
+    shapes_ref = jax.tree_util.tree_map(lambda a: a.shape, p)
+    shapes_mine = jax.tree_util.tree_map(
+        lambda a: a.shape, mine.init(jax.random.PRNGKey(1), x))
+    assert shapes_ref == shapes_mine  # converter compatibility
+    out_ref = ref.apply(p, x)
+    out_mine = mine.apply(p, x)  # identical param tree
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_mine),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_conv3x3_heuristic_is_shape_stable():
+    """Both lowerings trace under jit with no shape errors at the routing
+    boundary (H*W == 4096, cin == 640)."""
+    for hw, cin in [(64, 640), (64, 639), (65, 640)]:
+        x = jnp.zeros((1, hw, hw, cin), jnp.bfloat16)
+        m = Conv3x3(32, dtype=jnp.bfloat16)
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = jax.jit(m.apply)(p, x)
+        assert out.shape == (1, hw, hw, 32)

@@ -142,7 +142,9 @@ def test_fuzz_random_shapes(seed):
     H = int(rng.integers(1, 4))
     S = int(rng.integers(1, 200))
     L = int(rng.integers(1, 200))
-    D = int(rng.choice([8, 40, 64, 96, 128]))
+    # incl. SD1.5 mid/deep head dims 80/160 (160 exercises the forced
+    # re-pad: unpadded blocks are only legal within one 128-lane tile)
+    D = int(rng.choice([8, 40, 64, 80, 96, 128, 160]))
     mode = str(rng.choice(MODES))
     q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(B, H, L, D)).astype(np.float32))
