@@ -1,0 +1,94 @@
+"""Hardware smoke matrix: one forward per (model family x AID mode x IP)
+combination on the real TPU, finite-checked.
+
+CPU interpret tests cannot catch Mosaic/TPU-runtime layout restrictions
+(e.g. the D=160 unpadded-block rejection found in round 2), so every
+kernel-shape class each supported pipeline can emit gets executed on
+hardware here. Small spatial sizes keep compiles short; head dims are
+channel-derived so the kernel shape classes are the real ones.
+
+Run: python tools/hw_smoke.py            (~10-20 min cold)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/aid_tpu_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+DT = jnp.bfloat16
+F = 3
+
+
+def smoke(name, cfgname, L, mode, ip=False, scale_control=False):
+    from aid_tpu.models import UNet2DCondition, configs
+    from aid_tpu.models.layers import AidContext, AidMode
+
+    cfg = getattr(configs, cfgname)
+    if ip:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, ip_num_tokens=4, ip_hidden_dim=cfg.cross_attention_dim)
+    unet = UNet2DCondition(cfg, dtype=DT)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (F, L, L, cfg.in_channels), DT)
+    ehs = jax.random.normal(jax.random.PRNGKey(1), (F, 77, cfg.cross_attention_dim), DT)
+    added = None
+    if cfg.addition_embed_type == "text_time":
+        added = {"text_embeds": jax.random.normal(jax.random.PRNGKey(2), (F, 1280), DT),
+                 "time_ids": jnp.broadcast_to(
+                     jnp.array([1024., 1024., 0., 0., 1024., 1024.]), (F, 6))}
+    init_added = {k: v[:1] for k, v in added.items()} if added else None
+    params = unet.init(jax.random.PRNGKey(3),
+                       jnp.zeros((1, 8, 8, cfg.in_channels), DT), jnp.array(0),
+                       ehs[:1], None, init_added)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(DT) if a.dtype == jnp.float32 else a, params)
+    coef = jnp.linspace(0, 1, F)
+    aid = None
+    if mode != "vanilla":
+        m = (AidMode.from_name("scale_control") if scale_control
+             else AidMode.from_name(mode, has_ip=ip))
+        ip_states = (jax.random.normal(jax.random.PRNGKey(5), (F, 4, cfg.cross_attention_dim), DT)
+                     if ip else None)
+        aid = AidContext(coef=coef, mode=m, ip_hidden_states=ip_states)
+    try:
+        out = unet.apply(params, sample, jnp.array(500), ehs, aid, added)
+        v = float(jnp.sum(out.astype(jnp.float32)))
+        ok, detail = v == v, round(v, 2)
+    except Exception as e:
+        ok, detail = False, repr(e)[:160]
+    print(json.dumps({"smoke": name, "ok": ok, "detail": detail}), flush=True)
+    return ok
+
+
+if __name__ == "__main__":
+    print(json.dumps({"devices": str(jax.devices())}), flush=True)
+    results = []
+    # (name, config, latent, mode, ip, scale_control)
+    MATRIX = [
+        ("sd15_vanilla", "SD15_UNET", 64, "vanilla", False, False),
+        ("sd15_fused_outer", "SD15_UNET", 64, "fused_outer", False, False),
+        ("sd15_pure_inner", "SD15_UNET", 64, "pure_inner", False, False),
+        ("sd15_fused_inner", "SD15_UNET", 64, "fused_inner", False, False),
+        ("sd15_pure_outer", "SD15_UNET", 64, "pure_outer", False, False),
+        ("sd15_ip_fused_outer", "SD15_UNET", 64, "fused_outer", True, False),
+        ("sd15_ip_scale_control", "SD15_UNET", 64, "fused_outer", True, True),
+        ("sd21_fused_outer", "SD21_UNET", 96, "fused_outer", False, False),
+        ("sdxl_vanilla", "SDXL_UNET", 128, "vanilla", False, False),
+        ("sdxl_fused_outer", "SDXL_UNET", 128, "fused_outer", False, False),
+        ("sdxl_fused_inner", "SDXL_UNET", 128, "fused_inner", False, False),
+        ("sdxl_ip_fused_outer", "SDXL_UNET", 128, "fused_outer", True, False),
+    ]
+    want = set(sys.argv[1:])
+    fails = 0
+    for row in MATRIX:
+        if want and row[0] not in want:
+            continue
+        fails += 0 if smoke(*row) else 1
+    print(json.dumps({"total": len(MATRIX), "failed": fails}), flush=True)
+    sys.exit(1 if fails else 0)
