@@ -107,6 +107,8 @@ def main():
         "value": round(frames_per_sec, 4),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / A100_BASELINE_FRAMES_PER_SEC, 3),
+        # BASELINE.json's second metric: p50 full-sequence latency
+        "latency_s_p50": round(sorted(times)[len(times) // 2], 3),
     }))
 
 

@@ -43,11 +43,28 @@ def smoke(name, cfgname, L, mode, ip=False, scale_control=False):
                  "time_ids": jnp.broadcast_to(
                      jnp.array([1024., 1024., 0., 0., 1024., 1024.]), (F, 6))}
     init_added = {k: v[:1] for k, v in added.items()} if added else None
-    params = unet.init(jax.random.PRNGKey(3),
-                       jnp.zeros((1, 8, 8, cfg.in_channels), DT), jnp.array(0),
-                       ehs[:1], None, init_added)
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(DT) if a.dtype == jnp.float32 else a, params)
+    # synthesize lecun-scaled bf16 params from shapes only: a real init
+    # builds f32 params on device (10.4 GB for SDXL) and peaks ~15.6 GB
+    # with the bf16 copy — that, not the model, exhausted HBM in round 2
+    shapes = jax.eval_shape(
+        lambda r: unet.init(r, jnp.zeros((1, 8, 8, cfg.in_channels), DT),
+                            jnp.array(0), ehs[:1], None, init_added),
+        jax.random.PRNGKey(3))
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    def synth(i, s):
+        if s.dtype != jnp.float32:
+            return jnp.zeros(s.shape, s.dtype)
+        if len(s.shape) < 2:  # biases / norm scales
+            return jnp.zeros(s.shape, DT)
+        fan_in = 1
+        for d in s.shape[:-1]:
+            fan_in *= d
+        std = fan_in ** -0.5
+        return jax.random.normal(jax.random.PRNGKey(i), s.shape, DT) * std
+
+    params = jax.tree_util.tree_unflatten(
+        treedef, [synth(i, s) for i, s in enumerate(leaves)])
     coef = jnp.linspace(0, 1, F)
     aid = None
     if mode != "vanilla":
@@ -85,10 +102,7 @@ if __name__ == "__main__":
         ("sdxl_ip_fused_outer", "SDXL_UNET", 128, "fused_outer", True, False),
     ]
     want = set(sys.argv[1:])
-    fails = 0
-    for row in MATRIX:
-        if want and row[0] not in want:
-            continue
-        fails += 0 if smoke(*row) else 1
-    print(json.dumps({"total": len(MATRIX), "failed": fails}), flush=True)
+    rows = [r for r in MATRIX if not want or r[0] in want]
+    fails = sum(0 if smoke(*row) else 1 for row in rows)
+    print(json.dumps({"total": len(rows), "failed": fails}), flush=True)
     sys.exit(1 if fails else 0)
