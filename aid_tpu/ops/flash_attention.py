@@ -63,7 +63,7 @@ def _kernel(
     # output
     o_ref,  # (1, 1, bq, Dp)
     # scratch
-    m_ref,  # (bq, LANES) f32, shared across sets
+    m_ref,  # (n_m, bq, LANES) f32: shared (n_m=1) or per-set (pure outer)
     l_ref,  # (n_sets, bq, LANES) f32
     acc_ref,  # (n_sets, bq, Dp) f32
     *,
@@ -121,58 +121,90 @@ def _kernel(
             s = jnp.where(col + base < valid, s, NEG_INF)
         v_blk = read(v_ref)
 
-        # SHARED running max across both accumulator sets: m is only a
-        # stability offset, so one max over everything seen keeps each set's
-        # softmax exact while letting self blocks (fused modes) compute
-        # exp(s-m) and the PV matmul ONCE and credit BOTH sets — vs the
-        # per-set formulation that doubled the exp + PV work on the
-        # dominant (own-KV) segment of the stream.
-        m_old = m_ref[:, :1]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
         # With exp_impl="exp2" the scale folds in log2(e) (see caller), so
         # 2^(s-m) == e^(s'-m') exactly — same softmax, cheaper VPU op.
         exp_fn = jax.lax.exp2 if exp_impl == "exp2" else jnp.exp
-        alpha = exp_fn(m_old - m_new)
-        if exp_impl == "bf16":
-            # probabilities are cast to bf16 for the PV matmul anyway;
-            # computing exp directly in bf16 packs 2 lanes per VPU op
-            p = jnp.exp((s - m_new).astype(jnp.bfloat16))
-            rowsum = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-        else:
-            p = exp_fn(s - m_new)
-            rowsum = jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[...] = jnp.broadcast_to(m_new, (bq, LANES))
 
-        if not two_sets:
-            l_ref[0] = l_ref[0] * alpha + rowsum
-            acc_ref[0] = acc_ref[0] * alpha + pv
-        else:
-            upd0 = jnp.logical_or(in_self, in_begin)
-            upd1 = jnp.logical_or(
-                in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))
+        def probs(m_new):
+            if exp_impl == "bf16":
+                # probabilities are cast to bf16 for the PV matmul anyway;
+                # computing exp directly in bf16 packs 2 lanes per VPU op
+                p = jnp.exp((s - m_new).astype(jnp.bfloat16))
+                rowsum = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            else:
+                p = exp_fn(s - m_new)
+                rowsum = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            # both sets rescale by the shared alpha every block; the l/acc
-            # contribution lands only in the set(s) this phase feeds
-            w0 = jnp.where(upd0, 1.0, 0.0).astype(jnp.float32)
-            w1 = jnp.where(upd1, 1.0, 0.0).astype(jnp.float32)
-            l_ref[0] = l_ref[0] * alpha + w0 * rowsum
-            l_ref[1] = l_ref[1] * alpha + w1 * rowsum
-            acc_ref[0] = acc_ref[0] * alpha + w0 * pv
-            acc_ref[1] = acc_ref[1] * alpha + w1 * pv
+            return rowsum, pv
+
+        s_max = jnp.max(s, axis=-1, keepdims=True)
+
+        if not two_sets or mode.is_fused:
+            # SHARED running max across both accumulator sets: m is only a
+            # stability offset, so one max over everything seen keeps each
+            # set's softmax exact while letting self blocks (fused modes)
+            # compute exp(s-m) and the PV matmul ONCE and credit BOTH sets.
+            # Sound for fused modes because both sets contain the self
+            # segment, coupling their maxima — an endpoint segment would
+            # need logits ~88 above the shared self segment (f32 exp
+            # underflow) before the weaker set lost precision; the l-guard
+            # at finalize bounds even that case to a graceful fade.
+            m_old = m_ref[0, :, :1]
+            m_new = jnp.maximum(m_old, s_max)
+            alpha = exp_fn(m_old - m_new)
+            rowsum, pv = probs(m_new)
+            m_ref[0] = jnp.broadcast_to(m_new, (bq, LANES))
+            if not two_sets:
+                l_ref[0] = l_ref[0] * alpha + rowsum
+                acc_ref[0] = acc_ref[0] * alpha + pv
+            else:
+                upd0 = jnp.logical_or(in_self, in_begin)
+                upd1 = jnp.logical_or(
+                    in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))
+                )
+                # both sets rescale by the shared alpha every block; the
+                # l/acc contribution lands only in the set(s) this phase feeds
+                w0 = jnp.where(upd0, 1.0, 0.0).astype(jnp.float32)
+                w1 = jnp.where(upd1, 1.0, 0.0).astype(jnp.float32)
+                l_ref[0] = l_ref[0] * alpha + w0 * rowsum
+                l_ref[1] = l_ref[1] * alpha + w1 * rowsum
+                acc_ref[0] = acc_ref[0] * alpha + w0 * pv
+                acc_ref[1] = acc_ref[1] * alpha + w1 * pv
+        else:
+            # pure_outer: the two streams are disjoint (no shared self
+            # blocks), so a shared max buys nothing and could underflow the
+            # weaker stream; keep an exact per-set running max instead.
+            def update(i):
+                m_old = m_ref[i, :, :1]
+                m_new = jnp.maximum(m_old, s_max)
+                alpha = exp_fn(m_old - m_new)
+                rowsum, pv = probs(m_new)
+                m_ref[i] = jnp.broadcast_to(m_new, (bq, LANES))
+                l_ref[i] = l_ref[i] * alpha + rowsum
+                acc_ref[i] = acc_ref[i] * alpha + pv
+
+            @pl.when(in_begin)
+            def _():
+                update(0)
+
+            @pl.when(jnp.logical_not(in_begin))
+            def _():
+                update(1)
 
     # skipped endpoint blocks contribute nothing and m does not move, so the
     # inactive branch needs no rescale at all.
 
     @pl.when(j == n_steps - 1)
     def _finalize():
-        out0 = acc_ref[0] / l_ref[0, :, :1]
+        # the guard keeps an (astronomically unlikely) fully-underflowed
+        # set at 0 instead of 0/0 = NaN
+        out0 = acc_ref[0] / jnp.maximum(l_ref[0, :, :1], 1e-37)
         if two_sets:
             c = coef_ref[b]
-            out1 = acc_ref[1] / l_ref[1, :, :1]
+            out1 = acc_ref[1] / jnp.maximum(l_ref[1, :, :1], 1e-37)
             out = (1.0 - c) * out0 + c * out1
         else:
             out = out0
@@ -239,8 +271,13 @@ def flash_interpolated_attention(
     # 160-dim heads) must pad, or the TPU runtime rejects the layout.
     unpadded_ok = D <= LANES or D % LANES == 0
     Dp = _ceil_to(D, LANES) if (pad_d or not unpadded_ok) else D
-    block_q = min(block_q, _ceil_to(Sq, LANES))
-    block_k = min(block_k, _ceil_to(max(Lk, Le), LANES))
+    # Wide-head shapes (e.g. the VAE mid block: D=512 f32) blow past
+    # Mosaic's per-buffer limits at the default 1024-row blocks — cap each
+    # q/kv block at ~512 KB (the regime the block sweep validated).
+    itemsize = jnp.dtype(q.dtype).itemsize
+    max_rows = max(LANES, (512 * 1024) // (Dp * itemsize) // LANES * LANES)
+    block_q = min(block_q, max_rows, _ceil_to(Sq, LANES))
+    block_k = min(block_k, max_rows, _ceil_to(max(Lk, Le), LANES))
     Sqp = _ceil_to(Sq, block_q)
     Lkp = _ceil_to(Lk, block_k)
     Lep = _ceil_to(Le, block_k)
@@ -297,6 +334,7 @@ def flash_interpolated_attention(
         (mode.is_outer or mode.is_inner) and Lep != Le
     )
     n_sets = 2 if mode.is_outer else 1
+    n_m = 2 if (mode.is_outer and not mode.is_fused) else 1
     # exp2 strategy: fold log2(e) into the score scale so in-kernel
     # 2^(s-m) equals e^(s/log2e - m/log2e) — bit-for-bit the same softmax
     kernel_scale = float(scale) * (1.4426950408889634 if exp_impl == "exp2" else 1.0)
@@ -322,7 +360,9 @@ def flash_interpolated_attention(
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
         scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),  # shared running max
+            # running max: shared for self/fused (coupled via the self
+            # segment), per-set for pure outer (disjoint streams)
+            pltpu.VMEM((n_m, block_q, LANES), jnp.float32),
             pltpu.VMEM((n_sets, block_q, LANES), jnp.float32),
             pltpu.VMEM((n_sets, block_q, Dp), jnp.float32),
         ],

@@ -152,7 +152,23 @@ def test_fuzz_random_shapes(seed):
     coef = jnp.asarray(np.sort(rng.uniform(0, 1, B)).astype(np.float32))
     bq = int(rng.choice([128, 256]))
     bk = int(rng.choice([128, 256]))
+    pad_d = bool(rng.choice([False, True]))
+    exp_impl = str(rng.choice(["f32", "exp2"]))  # bf16 covered separately (looser tol)
     want = interpolated_attention(q, k, v, coef, mode)
-    got = flash_interpolated_attention(q, k, v, coef, mode, block_q=bq, block_k=bk, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4,
-                               err_msg=f"B{B} H{H} S{S} L{L} D{D} {mode} bq{bq} bk{bk}")
+    got = flash_interpolated_attention(q, k, v, coef, mode, block_q=bq, block_k=bk,
+                                       interpret=True, pad_d=pad_d, exp_impl=exp_impl)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4,
+        err_msg=f"B{B} H{H} S{S} L{L} D{D} {mode} bq{bq} bk{bk} pad{pad_d} {exp_impl}")
+
+
+@pytest.mark.parametrize("mode", ["self", "fused_outer"])
+def test_exp_impl_bf16(mode):
+    """bf16-exp probabilities stay within bf16-level tolerance of the
+    reference (the p->bf16 cast exists on every path; only l's summands
+    lose precision)."""
+    q, k, v, coef = _data(3, 2, 128, 128, 64, seed=9)
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(q, k, v, coef, mode, block_q=128, block_k=128,
+                                       interpret=True, exp_impl="bf16")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)

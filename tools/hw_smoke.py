@@ -55,8 +55,11 @@ def smoke(name, cfgname, L, mode, ip=False, scale_control=False):
     def synth(i, s):
         if s.dtype != jnp.float32:
             return jnp.zeros(s.shape, s.dtype)
-        if len(s.shape) < 2:  # biases / norm scales
-            return jnp.zeros(s.shape, DT)
+        if len(s.shape) < 2:
+            # ones, not zeros: zeroed norm scales would collapse every
+            # activation to 0 and the kernels would smoke-run on all-zero
+            # q/k/v, losing the numeric coverage the finite check implies
+            return jnp.ones(s.shape, DT)
         fan_in = 1
         for d in s.shape[:-1]:
             fan_in *= d
@@ -73,13 +76,30 @@ def smoke(name, cfgname, L, mode, ip=False, scale_control=False):
         ip_states = (jax.random.normal(jax.random.PRNGKey(5), (F, 4, cfg.cross_attention_dim), DT)
                      if ip else None)
         aid = AidContext(coef=coef, mode=m, ip_hidden_states=ip_states)
+    import math
     try:
         out = unet.apply(params, sample, jnp.array(500), ehs, aid, added)
         v = float(jnp.sum(out.astype(jnp.float32)))
-        ok, detail = v == v, round(v, 2)
+        ok, detail = math.isfinite(v), round(v, 2)
     except Exception as e:
         ok, detail = False, repr(e)[:160]
     print(json.dumps({"smoke": name, "ok": ok, "detail": detail}), flush=True)
+    return ok
+
+
+def smoke_vae_attention():
+    """The VAE mid-block shape class (single-head, C=512, 16384 tokens,
+    f32) now routes through the flash kernel — exercise it on hardware."""
+    import math
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+    try:
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 16384, 512), jnp.float32) * 0.1
+        out = flash_interpolated_attention(q, q, q, jnp.zeros((1,)), "self")
+        v = float(jnp.sum(out))
+        ok, detail = math.isfinite(v), round(v, 2)
+    except Exception as e:
+        ok, detail = False, repr(e)[:160]
+    print(json.dumps({"smoke": "vae_mid_attention_16k_512_f32", "ok": ok, "detail": detail}), flush=True)
     return ok
 
 
@@ -104,5 +124,9 @@ if __name__ == "__main__":
     want = set(sys.argv[1:])
     rows = [r for r in MATRIX if not want or r[0] in want]
     fails = sum(0 if smoke(*row) else 1 for row in rows)
-    print(json.dumps({"total": len(rows), "failed": fails}), flush=True)
+    n = len(rows)
+    if not want or "vae_mid_attention" in want:
+        n += 1
+        fails += 0 if smoke_vae_attention() else 1
+    print(json.dumps({"total": n, "failed": fails}), flush=True)
     sys.exit(1 if fails else 0)
