@@ -167,6 +167,18 @@ class Conv3x3(nn.Module):
                         preferred_element_type=jnp.float32)
                     out = t if out is None else out + t
             return (out + b.astype(jnp.float32)).astype(self.dtype)
+        if H * W > 4096 and 64 <= cin <= 384:
+            # level-0 class (e.g. ch320 @ 128x128): one im2col GEMM beats
+            # the implicit-GEMM conv by ~9% (67 -> 74 TF/s measured). The
+            # MXU accumulates f32 internally and rounds once at the bf16
+            # output — numerically the same as lax.conv with bf16 out.
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            cols = jnp.concatenate([
+                xp[:, dy:dy + H, dx:dx + W, :]
+                for dy in range(3) for dx in range(3)
+            ], axis=-1)
+            out = jnp.einsum("bhwk,ko->bhwo", cols, w.reshape(9 * cin, -1))
+            return out + b
         out = jax.lax.conv_general_dilated(
             x, w, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -16,7 +16,8 @@ from aid_tpu.models.layers import Conv3x3
     [
         (8, 640, 320),    # shift9 path (deep level)
         (8, 1280, 1280),  # shift9 path
-        (16, 320, 320),   # lax path (cin < 640)
+        (16, 320, 320),   # lax path (cin < 640, small spatial)
+        (72, 320, 320),   # im2col path (H*W > 4096, 64 <= cin <= 384)
         (4, 704, 64),     # shift9, non-square channel change
     ],
 )
