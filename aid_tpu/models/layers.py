@@ -249,7 +249,7 @@ class CrossAttention(nn.Module):
     # over. Endpoint K/V (global frames 0 / N-1) are fetched with an
     # all_gather of each shard's boundary rows — the tiny per-layer
     # collective mandated by SURVEY.md §5.8.
-    frame_axis: Optional[str] = None
+    frame_axis: Optional[object] = None  # str or tuple of mesh axis names
 
     @nn.compact
     def __call__(self, hidden, encoder_hidden=None, aid: Optional[AidContext] = None):
@@ -416,7 +416,7 @@ class BasicTransformerBlock(nn.Module):
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
-    frame_axis: Optional[str] = None
+    frame_axis: Optional[object] = None  # str or tuple of mesh axis names
 
     @nn.compact
     def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):
@@ -446,7 +446,7 @@ class Transformer2D(nn.Module):
     has_ip: bool = False
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"
-    frame_axis: Optional[str] = None
+    frame_axis: Optional[object] = None  # str or tuple of mesh axis names
 
     @nn.compact
     def __call__(self, x, encoder_hidden, aid: Optional[AidContext] = None):

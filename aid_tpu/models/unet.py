@@ -40,7 +40,7 @@ class UNet2DCondition(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"  # "auto" | "flash" (Pallas) | "xla" (jnp)
     # mesh axis name the frame dim is sharded over (shard_map mode)
-    frame_axis: Optional[str] = None
+    frame_axis: Optional[object] = None  # str or tuple of mesh axis names
 
     @nn.compact
     def __call__(

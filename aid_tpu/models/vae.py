@@ -41,6 +41,9 @@ class VAEAttention(nn.Module):
 
     norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"  # "auto" | "flash" | "xla"; "xla" is
+    # required under GSPMD-partitioned decode (pallas_call is opaque to the
+    # partitioner) — plumbed from AutoencoderKL like the UNet does.
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +61,8 @@ class VAEAttention(nn.Module):
 
         out = dispatch_attention(
             q[:, None], k[:, None], v[:, None],
-            jnp.zeros((b,), jnp.float32), AttnMode.SELF)[:, 0]
+            jnp.zeros((b,), jnp.float32), AttnMode.SELF,
+            backend=self.attention_backend)[:, 0]
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return res + out.reshape(b, h, w, c)
 
@@ -67,11 +71,13 @@ class VAEMidBlock(nn.Module):
     channels: int
     norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         x = VAEResnetBlock(self.channels, self.norm_num_groups, dtype=self.dtype, name="resnets_0")(x)
-        x = VAEAttention(self.norm_num_groups, dtype=self.dtype, name="attentions_0")(x)
+        x = VAEAttention(self.norm_num_groups, dtype=self.dtype,
+                         attention_backend=self.attention_backend, name="attentions_0")(x)
         x = VAEResnetBlock(self.channels, self.norm_num_groups, dtype=self.dtype, name="resnets_1")(x)
         return x
 
@@ -79,6 +85,7 @@ class VAEMidBlock(nn.Module):
 class VAEEncoder(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -93,7 +100,8 @@ class VAEEncoder(nn.Module):
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = nn.Conv(out_ch, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
                             name=f"down_blocks_{level}_downsamplers_0")(h)
-        h = VAEMidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups, dtype=self.dtype, name="mid_block")(h)
+        h = VAEMidBlock(cfg.block_out_channels[-1], cfg.norm_num_groups, dtype=self.dtype,
+                        attention_backend=self.attention_backend, name="mid_block")(h)
         h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_out")(h)
@@ -103,13 +111,15 @@ class VAEEncoder(nn.Module):
 class VAEDecoder(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     @nn.compact
     def __call__(self, z):
         cfg = self.config
         ch = list(reversed(cfg.block_out_channels))
         h = nn.Conv(ch[0], (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv_in")(z)
-        h = VAEMidBlock(ch[0], cfg.norm_num_groups, dtype=self.dtype, name="mid_block")(h)
+        h = VAEMidBlock(ch[0], cfg.norm_num_groups, dtype=self.dtype,
+                        attention_backend=self.attention_backend, name="mid_block")(h)
         for level, out_ch in enumerate(ch):
             for j in range(cfg.layers_per_block + 1):
                 h = VAEResnetBlock(out_ch, cfg.norm_num_groups, dtype=self.dtype,
@@ -129,10 +139,13 @@ class AutoencoderKL(nn.Module):
 
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "auto"
 
     def setup(self):
-        self.encoder = VAEEncoder(self.config, dtype=self.dtype)
-        self.decoder = VAEDecoder(self.config, dtype=self.dtype)
+        self.encoder = VAEEncoder(self.config, dtype=self.dtype,
+                                  attention_backend=self.attention_backend)
+        self.decoder = VAEDecoder(self.config, dtype=self.dtype,
+                                  attention_backend=self.attention_backend)
         self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv")
         self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")
 

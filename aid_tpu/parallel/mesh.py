@@ -28,6 +28,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def _shard_map(fn, *, mesh, in_specs, out_specs):
+    """shard_map with replication checking off, across jax versions: the
+    stable ``jax.shard_map`` (jax >= 0.8; check_vma) with a fallback to the
+    pre-0.8 experimental import (check_rep)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    from jax.experimental.shard_map import shard_map as _sm  # jax < 0.8
+
+    return _sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)
+
+
 def make_mesh(dp: Optional[int] = None, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     """Create a (data, model) mesh. Default: all devices on the data axis."""
     devices = list(devices if devices is not None else jax.devices())
@@ -61,9 +74,22 @@ def make_multislice_mesh(dp_dcn: int, dp_ici: Optional[int] = None, tp: int = 1)
     return Mesh(arr, ("dcn", DATA_AXIS, MODEL_AXIS))
 
 
+def frame_axes(mesh: Mesh):
+    """Mesh axes the frame dimension shards over: ("dcn", "data") on a
+    multislice mesh (outer frame shards cross slices over DCN; the per-layer
+    endpoint gather is the only cross-slice traffic), else just "data"."""
+    return ("dcn", DATA_AXIS) if "dcn" in mesh.axis_names else DATA_AXIS
+
+
+def frame_shard_count(mesh: Mesh) -> int:
+    ax = frame_axes(mesh)
+    return int(np.prod([mesh.shape[a] for a in ax])) if isinstance(ax, tuple) else mesh.shape[ax]
+
+
 def frame_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (frame) axis over the data axis, replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard the leading (frame) axis over the data (and dcn) axes,
+    replicate the rest."""
+    return NamedSharding(mesh, P(frame_axes(mesh), *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -137,13 +163,12 @@ def sharded_denoise_sequence(
     """
     import functools
 
-    from jax.experimental.shard_map import shard_map
-
     from aid_tpu.pipelines import engine
 
-    unet_sh = unet.clone(frame_axis=DATA_AXIS)
-    dp = mesh.shape[DATA_AXIS]
-    assert latents.shape[0] % dp == 0, "frames must divide the data axis"
+    f_axes = frame_axes(mesh)
+    unet_sh = unet.clone(frame_axis=f_axes)
+    dp = frame_shard_count(mesh)
+    assert latents.shape[0] % dp == 0, "frames must divide the frame shards"
 
     # Per-frame optional inputs (IP tokens, SDXL added-cond dicts) must ride
     # the frame sharding through in_specs — a closure capture would stay
@@ -169,7 +194,7 @@ def sharded_denoise_sequence(
         return fn_inner(params, latents, embs, uncond_embs, coef, sched_state,
                         guidance_scale, **frame_kw)
 
-    frame_spec = lambda x: P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    frame_spec = lambda x: P(f_axes, *([None] * (x.ndim - 1)))
     # scheduler-state leaves that are latent-shaped (multistep history
     # buffers) shard with the frames; small 1-D schedule arrays replicate
     state_specs = jax.tree_util.tree_map(
@@ -180,22 +205,23 @@ def sharded_denoise_sequence(
         frame_spec(latents),
         frame_spec(embs),
         frame_spec(uncond_embs),
-        P(DATA_AXIS),
+        P(f_axes),
         state_specs,
         P(),
         jax.tree_util.tree_map(frame_spec, frame_kw),
     )
     out_specs = frame_spec(latents)
 
-    return shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False,
+    return _shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
     )(params, latents, embs, uncond_embs, coef, sched_state, guidance_scale, frame_kw)
 
 
 def shard_frames(tree, mesh: Mesh):
-    """Place activation arrays with the frame axis sharded over data."""
+    """Place activation arrays with the frame axis sharded over data (and
+    dcn on a multislice mesh)."""
     def place(leaf):
-        dp = mesh.shape[DATA_AXIS]
+        dp = frame_shard_count(mesh)
         if leaf.ndim >= 1 and leaf.shape[0] % dp == 0:
             return jax.device_put(leaf, frame_sharding(mesh, leaf.ndim))
         return jax.device_put(leaf, replicated(mesh))

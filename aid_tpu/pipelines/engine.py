@@ -39,23 +39,7 @@ def rescale_noise_cfg(noise_cfg: jnp.ndarray, noise_pred_text: jnp.ndarray, guid
     return guidance_rescale * rescaled + (1.0 - guidance_rescale) * noise_cfg
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "unet",
-        "scheduler",
-        "early",
-        "late",
-        "num_steps",
-        "warmup_steps",
-        "guidance_rescale",
-        "eta",
-        "cfg_mode",
-        "loop_mode",
-    ),
-    donate_argnames=("latents",),
-)
-def denoise_sequence(
+def _denoise_impl(
     unet,
     scheduler,
     params,
@@ -68,7 +52,8 @@ def denoise_sequence(
     *,
     early: AidMode,
     late: AidMode,
-    num_steps: int,
+    start: int,
+    end: int,
     warmup_steps: int,
     guidance_rescale: float = 0.0,
     eta: float = 0.0,
@@ -82,8 +67,9 @@ def denoise_sequence(
     noise_rng: Optional[jax.Array] = None,
     cfg_mode: str = "sequential",  # "sequential" (reference structure) | "batched"
     loop_mode: str = "auto",  # "auto" | "split" | "fused"
-) -> jnp.ndarray:
-    """Run the full warmup-split CFG denoise loop; returns final latents.
+):
+    """Warmup-split CFG denoise over step range [start, end); returns
+    (latents, sched_state).
 
     cfg_mode="sequential" reproduces the reference's two UNet passes per
     step (cond with AID, then uncond deactivated, sd:1859-1889).
@@ -180,17 +166,91 @@ def denoise_sequence(
         def fused_step(i, c):
             return step_fn(i, c, early, force_vanilla=i >= warmup_steps)
 
-        carry = jax.lax.fori_loop(0, num_steps, fused_step, carry)
+        carry = jax.lax.fori_loop(start, end, fused_step, carry)
     else:
-        if warmup_steps > 0:
+        # static split of [start, end) at the warmup boundary
+        early_end = min(max(warmup_steps, start), end)
+        if early_end > start:
             carry = jax.lax.fori_loop(
-                0, warmup_steps, lambda i, c: step_fn(i, c, early), carry
+                start, early_end, lambda i, c: step_fn(i, c, early), carry
             )
-        if warmup_steps < num_steps:
+        if early_end < end:
             carry = jax.lax.fori_loop(
-                warmup_steps, num_steps, lambda i, c: step_fn(i, c, late), carry
+                early_end, end, lambda i, c: step_fn(i, c, late), carry
             )
-    return carry[0]
+    return carry
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "unet",
+        "scheduler",
+        "early",
+        "late",
+        "num_steps",
+        "warmup_steps",
+        "guidance_rescale",
+        "eta",
+        "cfg_mode",
+        "loop_mode",
+    ),
+    donate_argnames=("latents",),
+)
+def denoise_sequence(
+    unet, scheduler, params, latents, embs, uncond_embs, coef, sched_state,
+    guidance_scale, *, early: AidMode, late: AidMode, num_steps: int,
+    warmup_steps: int, **kwargs,
+) -> jnp.ndarray:
+    """Run the full warmup-split CFG denoise loop; returns final latents.
+
+    See ``_denoise_impl`` for the mode semantics; this is the one-shot
+    entry (steps [0, num_steps), latents only).
+    """
+    latents, _ = _denoise_impl(
+        unet, scheduler, params, latents, embs, uncond_embs, coef, sched_state,
+        guidance_scale, early=early, late=late, start=0, end=num_steps,
+        warmup_steps=warmup_steps, **kwargs,
+    )
+    return latents
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "unet",
+        "scheduler",
+        "early",
+        "late",
+        "start",
+        "end",
+        "warmup_steps",
+        "guidance_rescale",
+        "eta",
+        "cfg_mode",
+        "loop_mode",
+    ),
+    donate_argnames=("latents",),
+)
+def denoise_steps(
+    unet, scheduler, params, latents, embs, uncond_embs, coef, sched_state,
+    guidance_scale, *, early: AidMode, late: AidMode, start: int, end: int,
+    warmup_steps: int, **kwargs,
+):
+    """Chunked-denoise primitive: AID CFG steps [start, end) of a longer
+    schedule; returns (latents, sched_state) so chunks compose.
+
+    This is the cooperative-cancel building block: the pipelines run
+    ceil(steps/chunk) of these and check ``InterpolationPipeline.interrupt()``
+    between chunks — the TPU-native equivalent of the reference's per-step
+    ``self._interrupt`` check (pipeline_interpolated_sd.py:1216, 1835-1836),
+    moved to chunk granularity so the loop itself stays on-device.
+    """
+    return _denoise_impl(
+        unet, scheduler, params, latents, embs, uncond_embs, coef, sched_state,
+        guidance_scale, early=early, late=late, start=start, end=end,
+        warmup_steps=warmup_steps, **kwargs,
+    )
 
 
 @functools.partial(
@@ -233,15 +293,18 @@ def denoise_range(
     return jax.lax.fori_loop(start, end, body, (latents, sched_state))
 
 
-@functools.partial(jax.jit, static_argnames=("vae", "per_frame"))
+@functools.partial(jax.jit, static_argnames=("vae", "per_frame", "tile_latent_size"))
 def decode_latents(vae, vae_params, latents: jnp.ndarray, scaling_factor: float,
-                   latents_mean=None, latents_std=None, per_frame: bool = False) -> jnp.ndarray:
+                   latents_mean=None, latents_std=None, per_frame: bool = False,
+                   tile_latent_size: Optional[int] = None) -> jnp.ndarray:
     """VAE decode -> float images in [0, 1], NHWC.
 
     ``per_frame`` decodes one frame at a time via lax.map to cap peak memory
     (reference SDXL decodes frame-by-frame, pipeline_interpolated_sdxl.py:2387-2390).
     ``latents_mean/std`` implement playground-style denormalization
-    (pipeline_interpolated_sdxl.py:2359-2385).
+    (pipeline_interpolated_sdxl.py:2359-2385). ``tile_latent_size`` routes
+    through the spatially-tiled decoder (reference enable_vae_tiling,
+    sd:175-181) to cap spatial memory for >1024px outputs.
     """
     z = latents.astype(jnp.float32)
     if latents_mean is not None:
@@ -251,13 +314,82 @@ def decode_latents(vae, vae_params, latents: jnp.ndarray, scaling_factor: float,
     else:
         z = z / scaling_factor
 
-    from aid_tpu.models.vae import AutoencoderKL  # local import to avoid cycle
-
-    def dec(zi):
-        return vae.apply(vae_params, zi, method=AutoencoderKL.decode)
+    if tile_latent_size is not None and max(z.shape[1:3]) > tile_latent_size:
+        def dec(zi):
+            return tiled_decode(vae, vae_params, zi, tile_latent_size=tile_latent_size)
+    else:
+        def dec(zi):
+            return vae.apply(vae_params, zi, method="decode")
 
     image = jax.lax.map(lambda zi: dec(zi[None])[0], z) if per_frame else dec(z)
     return jnp.clip(image.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vae", "tile_latent_size", "tile_overlap_factor"),
+)
+def tiled_decode(vae, vae_params, z: jnp.ndarray,
+                 tile_latent_size: int = 64,
+                 tile_overlap_factor: float = 0.25) -> jnp.ndarray:
+    """Spatially-tiled VAE decode with overlap blending.
+
+    The reference enables diffusers' AutoencoderKL.tiled_decode via
+    StableDiffusionMixin.enable_vae_tiling (pipeline_interpolated_sd.py:
+    175-181) so >1024px decodes fit in memory. Same algorithm, TPU-native
+    shape discipline: the latent is padded so EVERY tile has the full
+    (tile, tile) shape and all tiles decode through ONE compiled program
+    (lax.map over the tile stack); overlapping edges are linearly
+    blended (diffusers blend_v/blend_h ramps), each tile is cropped to
+    its stride extent, and the assembly is cropped to the true output
+    size. ``z`` must already be scaled (divided by scaling_factor).
+    Returns raw decoder output in [-1, 1], NHWC.
+    """
+    B, h, w, C = z.shape
+    f = 2 ** (len(vae.config.block_out_channels) - 1)
+    tl = tile_latent_size
+    stride = max(1, int(tl * (1.0 - tile_overlap_factor)))  # latent stride
+    ts = tl * f  # decoded tile size (px)
+    blend = int(ts * tile_overlap_factor)  # blend extent (px)
+    limit = ts - blend  # per-tile contribution (px)
+
+    n_rows = max(1, -(-h // stride))  # ceil; tile starts at i*stride
+    n_cols = max(1, -(-w // stride))
+    pad_h = (n_rows - 1) * stride + tl - h
+    pad_w = (n_cols - 1) * stride + tl - w
+    zp = jnp.pad(z, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+
+    # stack all tiles: (n_rows*n_cols, B, tl, tl, C) -> one compiled decode
+    tiles = jnp.stack([
+        jax.lax.dynamic_slice(zp, (0, i * stride, j * stride, 0), (B, tl, tl, C))
+        for i in range(n_rows) for j in range(n_cols)
+    ])
+    dec = jax.lax.map(
+        lambda t: vae.apply(vae_params, t, method="decode"), tiles
+    )  # (n_tiles, B, ts, ts, 3)
+    raw = [[dec[i * n_cols + j] for j in range(n_cols)] for i in range(n_rows)]
+
+    ramp = (jnp.arange(blend, dtype=dec.dtype) / max(blend, 1))
+    ramp_v = ramp.reshape(1, blend, 1, 1)
+    ramp_h = ramp.reshape(1, 1, blend, 1)
+
+    out_rows = []
+    for i in range(n_rows):
+        row = []
+        for j in range(n_cols):
+            tile = raw[i][j]
+            if i > 0 and blend > 0:  # blend top edge with the tile above
+                above = raw[i - 1][j][:, ts - blend:ts]
+                tile = tile.at[:, :blend].set(
+                    above * (1.0 - ramp_v) + tile[:, :blend] * ramp_v)
+            if j > 0 and blend > 0:  # blend left edge with the tile left
+                left = raw[i][j - 1][:, :, ts - blend:ts]
+                tile = tile.at[:, :, :blend].set(
+                    left * (1.0 - ramp_h) + tile[:, :, :blend] * ramp_h)
+            row.append(tile[:, :limit, :limit])
+        out_rows.append(jnp.concatenate(row, axis=2))
+    image = jnp.concatenate(out_rows, axis=1)
+    return image[:, : h * f, : w * f]
 
 
 def to_uint8(images: jnp.ndarray):

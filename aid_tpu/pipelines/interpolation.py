@@ -73,10 +73,29 @@ class InterpolationPipeline:
     # "sequential" = reference's two UNet passes per step; "batched" = one
     # 2N-batch pass (mathematically identical; see engine.denoise_sequence).
     cfg_mode: str = "sequential"
+    # Cooperative cancel (reference ``self._interrupt`` checked every denoise
+    # step, pipeline_interpolated_sd.py:1216, 1835-1836). When
+    # ``denoise_chunk_size`` is set, generation runs as ceil(steps/chunk)
+    # jitted ``engine.denoise_steps`` segments and ``interrupt()`` is honored
+    # between chunks (remaining steps skipped, current latents decoded —
+    # matching the reference's skip-to-decode behavior on interrupt).
+    denoise_chunk_size: Optional[int] = None
+    _interrupt: bool = dataclasses.field(default=False, repr=False)
+    # Spatial VAE tiling for >1024px decodes (reference enable_vae_tiling,
+    # StableDiffusionMixin sd:175-181). None = off; set to the latent tile
+    # edge (64 = 512px tiles) via enable_vae_tiling().
+    vae_tile_latent_size: Optional[int] = None
 
     # ------------------------------------------------------------------
     # plumbing
     # ------------------------------------------------------------------
+    def interrupt(self) -> None:
+        """Request cooperative cancel of the in-flight generation (reference
+        ``self._interrupt``, sd:1216). Takes effect at the next chunk
+        boundary when ``denoise_chunk_size`` is set; callable from another
+        thread (e.g. a UI cancel button) while ``interpolate()`` blocks."""
+        self._interrupt = True
+
     @property
     def has_ip(self) -> bool:
         return self.ip_proj is not None
@@ -111,12 +130,22 @@ class InterpolationPipeline:
     def _interp_pair(self, a, b, t, init: str):
         return lerp(a, b, t) if init == "linear" else slerp(a, b, t)
 
+    def enable_vae_tiling(self, tile_latent_size: int = 64):
+        """Decode in overlapping spatial tiles so large (>1024px) outputs
+        fit in HBM (reference enable_vae_tiling, sd:175-181)."""
+        self.vae_tile_latent_size = tile_latent_size
+        return self
+
+    def disable_vae_tiling(self):
+        self.vae_tile_latent_size = None
+        return self
+
     def _decode(self, latents: jnp.ndarray, per_frame: bool = False) -> np.ndarray:
         cfg = self.vae.config
         images = engine.decode_latents(
             self.vae, self.vae_params, latents, cfg.scaling_factor,
             latents_mean=cfg.latents_mean, latents_std=cfg.latents_std,
-            per_frame=per_frame,
+            per_frame=per_frame, tile_latent_size=self.vae_tile_latent_size,
         )
         images = engine.to_uint8(images)
         if self.safety_checker is not None:
@@ -276,6 +305,7 @@ class InterpolationPipeline:
         output_type: str = "np",
         per_frame_decode: bool = False,
         num_run_steps: Optional[int] = None,  # denoising_end truncation
+        callback_on_chunk_end=None,  # fn(pipe, step_index, latents) -> latents|None
     ):
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
@@ -283,6 +313,7 @@ class InterpolationPipeline:
         latents = latents * sched_state.init_noise_sigma
         if num_run_steps is None:
             num_run_steps = num_inference_steps
+        self._interrupt = False
         # Early mode runs for steps i < warmup_steps, 0-based — matching the
         # root pipelines (pipeline_interpolated_sd.py:1845 `i < warmup_step`
         # with i starting at 0). NOTE the gradio pipelines increment i BEFORE
@@ -293,19 +324,9 @@ class InterpolationPipeline:
         warmup_steps = min(int(num_inference_steps * warmup_ratio), num_run_steps)
         early_mode, late_mode = self._aid_modes(early, late)
 
-        final = engine.denoise_sequence(
-            self.unet,
-            self.scheduler,
-            self.unet_params,
-            latents,
-            embs,
-            uncond_embs,
-            coef,
-            sched_state,
-            jnp.float32(guidance_scale),
+        common = dict(
             early=early_mode,
             late=late_mode,
-            num_steps=num_run_steps,
             warmup_steps=warmup_steps,
             guidance_rescale=guidance_rescale,
             ip_embeds=self._project_ip(ip_image_embeds),
@@ -315,6 +336,32 @@ class InterpolationPipeline:
             added_cond_uncond=added_cond_uncond,
             cfg_mode=self.cfg_mode,
         )
+        args = (self.unet, self.scheduler, self.unet_params)
+        chunk = self.denoise_chunk_size
+        if chunk is None and callback_on_chunk_end is None:
+            final = engine.denoise_sequence(
+                *args, latents, embs, uncond_embs, coef, sched_state,
+                jnp.float32(guidance_scale), num_steps=num_run_steps, **common,
+            )
+        else:
+            # Interruptible path: ceil(steps/chunk) jitted segments with the
+            # cancel flag (and optional latents-editing callback, the
+            # reference's callback_on_step_end at chunk granularity,
+            # sd:1919-1928) checked between them.
+            chunk = chunk or num_run_steps
+            final, state = latents, sched_state
+            for s in range(0, num_run_steps, chunk):
+                final, state = engine.denoise_steps(
+                    *args, final, embs, uncond_embs, coef, state,
+                    jnp.float32(guidance_scale),
+                    start=s, end=min(s + chunk, num_run_steps), **common,
+                )
+                if callback_on_chunk_end is not None:
+                    out = callback_on_chunk_end(self, min(s + chunk, num_run_steps), final)
+                    if out is not None:
+                        final = out
+                if self._interrupt:
+                    break
         if output_type == "latent":
             return final
         return self._decode(final, per_frame=per_frame_decode)
@@ -336,6 +383,7 @@ class InterpolationPipeline:
         beta: Optional[float] = None,
         guidance_scale: Optional[float] = None,
         output_type: str = "np",
+        callback_on_chunk_end=None,
     ):
         """Full-sequence batched interpolation — one device program.
 
@@ -365,6 +413,7 @@ class InterpolationPipeline:
         return self._run_sequence(
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, output_type=output_type,
+            callback_on_chunk_end=callback_on_chunk_end,
         )
 
     def interpolate_single(
@@ -386,8 +435,13 @@ class InterpolationPipeline:
         image_embeds_start: Optional[jnp.ndarray] = None,
         image_embeds_end: Optional[jnp.ndarray] = None,
         negative_image_embeds: Optional[jnp.ndarray] = None,
+        prompt_embeds_start: Optional[jnp.ndarray] = None,
+        prompt_embeds_end: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        guide_prompt_embeds: Optional[jnp.ndarray] = None,
         seed: int = 0,
         output_type: str = "np",
+        callback_on_chunk_end=None,
     ):
         """3-frame [source A, interpolated, source B] generation.
 
@@ -401,6 +455,12 @@ class InterpolationPipeline:
         sd:1762-1814). Scale-control (image_end only) passes
         ``image_embeds_start=None`` with ``negative_image_embeds`` as the
         start endpoint (sd:1772-1774).
+
+        ``prompt_embeds_start/end`` + ``negative_prompt_embeds`` (each
+        (1, S, D)) bypass the tokenizer/text-encoder entirely — the
+        diffusers prompt_embeds escape hatch (reference encode_prompt's
+        prompt_embeds shortcut, sd:509-517), used by the parity harness to
+        feed reference-exported embeddings (PARITY.md).
         """
         assert 0.0 < it < 1.0, "t must be between 0 and 1"
         if latent_start is None:
@@ -411,10 +471,20 @@ class InterpolationPipeline:
         latent_t = slerp(latent_start, latent_end, it)
         latents = jnp.concatenate([latent_start, latent_t, latent_end], axis=0)
 
-        emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
-        emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
-        if guide_prompt is not None:
-            emb_t, _ = self.encode_prompt(guide_prompt, negative_prompt)
+        if prompt_embeds_start is not None:
+            assert prompt_embeds_end is not None and negative_prompt_embeds is not None, (
+                "prompt_embeds_start requires prompt_embeds_end and "
+                "negative_prompt_embeds")
+            emb_s = jnp.asarray(prompt_embeds_start)
+            emb_e = jnp.asarray(prompt_embeds_end)
+            un_s = un_e = jnp.asarray(negative_prompt_embeds)
+            emb_g = jnp.asarray(guide_prompt_embeds) if guide_prompt_embeds is not None else None
+        else:
+            emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
+            emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
+            emb_g = self.encode_prompt(guide_prompt, negative_prompt)[0] if guide_prompt is not None else None
+        if emb_g is not None:
+            emb_t = emb_g
         else:
             emb_t = self._interp_pair(emb_s, emb_e, it, init)
         un_t = self._interp_pair(un_s, un_e, it, init)
@@ -438,6 +508,7 @@ class InterpolationPipeline:
             early, late, guidance_scale, guidance_rescale,
             ip_image_embeds=ip_cond, ip_uncond_image_embeds=ip_uncond,
             output_type=output_type,
+            callback_on_chunk_end=callback_on_chunk_end,
         )
 
     def interpolate_save_gpu(

@@ -57,9 +57,18 @@ def _bytes_to_unicode():
 
 
 class CLIPBPETokenizer:
-    """CLIP byte-pair tokenizer from local vocab.json + merges.txt."""
+    """CLIP byte-pair tokenizer from local vocab.json + merges.txt.
 
-    def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77):
+    ``pad_token``: token used to fill positions after EOS. Defaults to EOS
+    (SD 1.x/2.x CLIP tokenizers); SDXL's ``tokenizer_2`` (OpenCLIP-bigG)
+    pads with ``"!"`` (id 0) instead — the pad ids feed the causal encoder
+    and the per-position embeddings DO enter cross-attention, so this is a
+    real numerics difference for short prompts (reference encodes via the
+    HF tokenizers' own pad config, pipeline_interpolated_sdxl.py:644-730).
+    """
+
+    def __init__(self, vocab_path: str, merges_path: str, max_length: int = 77,
+                 pad_token: str | None = None):
         with open(vocab_path) as f:
             self.encoder = json.load(f)
         #: placeholder tokens added by textual inversion: str -> [ids]
@@ -73,6 +82,12 @@ class CLIPBPETokenizer:
         self.max_length = max_length
         self.bos_id = self.encoder["<|startoftext|>"]
         self.eos_id = self.encoder["<|endoftext|>"]
+        if pad_token is None:
+            self.pad_id = self.eos_id
+        else:
+            # HF stores word-final tokens with the </w> suffix ("!" -> "!</w>")
+            self.pad_id = self.encoder.get(pad_token, self.encoder.get(pad_token + "</w>"))
+            assert self.pad_id is not None, f"pad token {pad_token!r} not in vocab"
         self.cache = {}
 
     def _bpe(self, token: str) -> List[str]:
@@ -127,12 +142,32 @@ class CLIPBPETokenizer:
                         ids.append(self.encoder[sub])
         ids = ids[: self.max_length - 1]
         ids.append(self.eos_id)
-        ids += [self.eos_id] * (self.max_length - len(ids))
+        ids += [self.pad_id] * (self.max_length - len(ids))
         return np.asarray([ids], np.int32)
 
 
+def _read_pad_token(path: str) -> str | None:
+    """Pad token from the checkpoint's tokenizer_config.json /
+    special_tokens_map.json (SDXL tokenizer_2 pads with "!", id 0 — not
+    EOS like SD's tokenizer). Returns None (-> EOS pad) when unspecified."""
+    for fname in ("tokenizer_config.json", "special_tokens_map.json"):
+        fpath = os.path.join(path, fname)
+        if not os.path.exists(fpath):
+            continue
+        with open(fpath) as f:
+            cfg = json.load(f)
+        tok = cfg.get("pad_token")
+        if isinstance(tok, dict):
+            tok = tok.get("content")
+        if tok is not None:
+            return tok
+    return None
+
+
 def load_tokenizer(path: str, max_length: int = 77):
-    """Load a CLIP tokenizer from a checkpoint ``tokenizer/`` directory."""
+    """Load a CLIP tokenizer from a checkpoint ``tokenizer/`` directory,
+    honoring its configured pad token."""
     return CLIPBPETokenizer(
-        os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"), max_length
+        os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"),
+        max_length, pad_token=_read_pad_token(path),
     )

@@ -21,6 +21,13 @@ def main():
     ap.add_argument("--checkpoint", required=True, help="diffusers-layout SD dir")
     ap.add_argument("--latent-start", default=None, help="reference-exported latents (.npy/.pt/.safetensors)")
     ap.add_argument("--latent-end", default=None)
+    ap.add_argument("--embeds-start", default=None,
+                    help="reference-exported cond text embeds (1,77,D); with "
+                    "--embeds-end and --neg-embeds, bypasses tokenizer+CLIP "
+                    "entirely so parity isolates the UNet/scheduler stack")
+    ap.add_argument("--embeds-end", default=None)
+    ap.add_argument("--neg-embeds", default=None)
+    ap.add_argument("--guide-embeds", default=None, help="optional PAID guide embeds")
     ap.add_argument("--prompt-start", default="A photo of dog, best quality, extremely detailed")
     ap.add_argument("--prompt-end", default="A photo of car, best quality, extremely detailed")
     ap.add_argument("--it", type=float, default=0.5)
@@ -39,7 +46,11 @@ def main():
 
     from aid_tpu.models.loader import load_interpolation_pipeline
     from aid_tpu.utils.images import show_images_horizontally
-    from aid_tpu.utils.parity import image_stats, load_reference_latents
+    from aid_tpu.utils.parity import (
+        image_stats,
+        load_reference_embeds,
+        load_reference_latents,
+    )
 
     pipe = load_interpolation_pipeline(args.checkpoint, scheduler_name="ddim",
                                        guidance_scale=args.guidance)
@@ -47,6 +58,14 @@ def main():
     if args.latent_start:
         kw["latent_start"] = load_reference_latents(args.latent_start)
         kw["latent_end"] = load_reference_latents(args.latent_end)
+    if args.embeds_start:
+        assert args.embeds_end and args.neg_embeds, (
+            "--embeds-start needs --embeds-end and --neg-embeds")
+        kw["prompt_embeds_start"] = load_reference_embeds(args.embeds_start)
+        kw["prompt_embeds_end"] = load_reference_embeds(args.embeds_end)
+        kw["negative_prompt_embeds"] = load_reference_embeds(args.neg_embeds)
+        if args.guide_embeds:
+            kw["guide_prompt_embeds"] = load_reference_embeds(args.guide_embeds)
     images = pipe.interpolate_single(
         args.it, prompt_start=args.prompt_start, prompt_end=args.prompt_end,
         num_inference_steps=args.steps, warmup_ratio=args.warmup_ratio,

@@ -29,6 +29,8 @@ _SLOW_MODULES = {
     "test_pipeline.py",  # end-to-end pipeline integration
     "test_loaders_extras.py",  # safety-checker pipeline integration
     "test_sdxl_ip.py",  # SDXL + IP-Adapter integration
+    "test_params.py",  # converter round-trips (332 LoC of synthetic dicts)
+    "test_schedulers_multistep.py",  # UniPC/EDM multistep traces
 }
 
 

@@ -51,6 +51,42 @@ class TestCLIPBPE:
         b = tiny_tokenizer("a cat and a dog 42")
         np.testing.assert_array_equal(a, b)
 
+    def test_pad_token_config(self, tiny_tokenizer, tmp_path):
+        """SD tokenizers pad with EOS; SDXL tokenizer_2 pads with "!" (id 0)
+        per its tokenizer_config.json — the pad ids feed the causal encoder,
+        so load_tokenizer must honor the checkpoint's pad config (reference
+        encodes via HF tokenizers, pipeline_interpolated_sdxl.py:644-730)."""
+        from aid_tpu.utils.tokenizer import load_tokenizer
+
+        d = tmp_path / "tok2"
+        d.mkdir()
+        # reuse the synthetic vocab, add "!" like the real CLIP vocab
+        vocab = dict(tiny_tokenizer.encoder)
+        vocab["!</w>"] = max(vocab.values()) + 1
+        with open(d / "vocab.json", "w") as f:
+            json.dump(vocab, f)
+        with open(d / "merges.txt", "w") as f:
+            f.write("#version: 0.2\nc a\nca t</w>\n")
+
+        # no config -> EOS padding (SD behavior)
+        sd_tok = load_tokenizer(str(d), max_length=16)
+        ids = sd_tok("ab")[0]
+        assert ids[-1] == sd_tok.eos_id
+
+        # SDXL tokenizer_2-style config -> "!" padding after the single EOS
+        with open(d / "tokenizer_config.json", "w") as f:
+            json.dump({"pad_token": "!"}, f)
+        xl_tok = load_tokenizer(str(d), max_length=16)
+        ids = xl_tok("ab")[0]
+        eos_pos = list(ids).index(xl_tok.eos_id)
+        assert ids[-1] == vocab["!</w>"] and xl_tok.pad_id == vocab["!</w>"]
+        assert all(i == xl_tok.pad_id for i in ids[eos_pos + 1:])
+
+        # dict-form pad_token (special_tokens_map.json style) also honored
+        with open(d / "tokenizer_config.json", "w") as f:
+            json.dump({"pad_token": {"content": "!"}}, f)
+        assert load_tokenizer(str(d), max_length=16).pad_id == vocab["!</w>"]
+
 
 class TestTextualInversion:
     def test_placeholder_token_roundtrip(self, tiny_tokenizer):

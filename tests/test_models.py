@@ -182,3 +182,71 @@ def test_attention_free_config_runs():
     params = model.init(jax.random.PRNGKey(0), x, jnp.array(0), e)
     out = model.apply(params, x, jnp.array(0), e)
     assert out.shape == x.shape
+
+
+class TestTiledDecode:
+    """Spatial VAE tiling (reference enable_vae_tiling, sd:175-181;
+    VERDICT r2 item #9)."""
+
+    def _stub_vae(self):
+        """Shift-invariant, padding-free decoder: tiling + overlap blending
+        must reproduce the untiled decode EXACTLY — any tile-placement or
+        blend-indexing bug shows up as a seam."""
+        import flax.linen as nn
+
+        from aid_tpu.models.configs import VAEConfig
+
+        class NearestUpsampleVAE(nn.Module):
+            config: VAEConfig
+
+            def decode(self, z):
+                f = 2 ** (len(self.config.block_out_channels) - 1)
+                return jnp.repeat(jnp.repeat(z[..., :3], f, axis=1), f, axis=2)
+
+        return NearestUpsampleVAE(VAEConfig(block_out_channels=(1, 1)))
+
+    def test_tiling_exact_for_shift_invariant_decoder(self):
+        from aid_tpu.pipelines.engine import tiled_decode
+
+        vae = self._stub_vae()
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 24, 4))
+        full = vae.apply({}, z, method="decode")
+        for tile in (8, 12, 16):
+            out = tiled_decode(vae, {}, z, tile_latent_size=tile)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                                       atol=1e-6, err_msg=f"tile={tile}")
+
+    def test_tiling_nondivisible_shapes(self):
+        from aid_tpu.pipelines.engine import tiled_decode
+
+        vae = self._stub_vae()
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 20, 29, 4))
+        out = tiled_decode(vae, {}, z, tile_latent_size=8)
+        full = vae.apply({}, z, method="decode")
+        assert out.shape == full.shape == (1, 40, 58, 3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
+
+    def test_single_tile_matches_plain_decode(self):
+        """Real (random-weight) VAE: one tile covering the latent must equal
+        the plain decode bit-exactly."""
+        from aid_tpu.models import AutoencoderKL, configs
+        from aid_tpu.pipelines import engine
+
+        vae = AutoencoderKL(configs.TINY_VAE)
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 4))
+        full = engine.decode_latents(vae, params, z, 0.18215)
+        tiled = engine.decode_latents(vae, params, z, 0.18215, tile_latent_size=16)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(tiled))
+
+    def test_real_vae_tiled_decode_finite_and_bounded(self):
+        from aid_tpu.models import AutoencoderKL, configs
+        from aid_tpu.pipelines import engine
+
+        vae = AutoencoderKL(configs.TINY_VAE)
+        params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 24, 24, 4))
+        out = np.asarray(engine.decode_latents(
+            vae, params, z, 0.18215, tile_latent_size=16, per_frame=True))
+        assert out.shape == (1, 48, 48, 3)
+        assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0

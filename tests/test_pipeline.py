@@ -177,3 +177,69 @@ class TestFusedLoop:
         split = run("split")
         fused = run("fused")
         np.testing.assert_allclose(fused, split, rtol=1e-4, atol=1e-4)
+
+
+class TestInterrupt:
+    """Cooperative cancel (reference self._interrupt, sd:1216, 1835-1836):
+    VERDICT r2 item #2 — the symbols COMPONENTS.md names must exist and work."""
+
+    def test_chunked_matches_single_shot(self, pipe):
+        import dataclasses
+
+        kw = dict(prompt_start="a cat", prompt_end="a dog",
+                  num_inference_steps=STEPS, seed=3)
+        one_shot = pipe.interpolate_single(0.5, **kw)
+        chunked_pipe = dataclasses.replace(pipe, denoise_chunk_size=1)
+        chunked = chunked_pipe.interpolate_single(0.5, **kw)
+        np.testing.assert_allclose(chunked.astype(int), one_shot.astype(int), atol=1)
+
+    def test_interrupt_after_first_chunk_returns_early(self, pipe):
+        import dataclasses
+
+        chunked_pipe = dataclasses.replace(pipe, denoise_chunk_size=1)
+        seen = []
+
+        def cancel_after_one(p, step_index, latents):
+            seen.append(step_index)
+            p.interrupt()
+
+        out = chunked_pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            num_inference_steps=STEPS, seed=3,
+            callback_on_chunk_end=cancel_after_one,
+        )
+        assert seen == [1]  # only chunk 1 ran; remaining steps skipped
+        assert out.shape == (3, 16, 16, 3)  # partial latents still decoded
+        full = pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            num_inference_steps=STEPS, seed=3,
+        )
+        assert np.any(out != full)  # genuinely stopped before completion
+
+    def test_interrupt_flag_resets_per_call(self, pipe):
+        import dataclasses
+
+        chunked_pipe = dataclasses.replace(pipe, denoise_chunk_size=2)
+        chunked_pipe.interrupt()
+        out = chunked_pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=STEPS)
+        full = pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=STEPS)
+        np.testing.assert_allclose(out.astype(int), full.astype(int), atol=1)
+
+    def test_callback_can_edit_latents(self, pipe):
+        """Chunk-end callback returning an array replaces the latents —
+        the reference's callback_on_step_end latents override (sd:1919-1928)
+        at chunk granularity."""
+        import dataclasses
+
+        chunked_pipe = dataclasses.replace(pipe, denoise_chunk_size=2)
+
+        def zero_latents(p, step_index, latents):
+            return jnp.zeros_like(latents)
+
+        out = chunked_pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=STEPS,
+            callback_on_chunk_end=zero_latents, output_type="latent",
+        )
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
