@@ -167,6 +167,11 @@ class Conv3x3(nn.Module):
                         preferred_element_type=jnp.float32)
                     out = t if out is None else out + t
             return (out + b.astype(jnp.float32)).astype(self.dtype)
+        # NOTE: a Pallas shift-accumulate conv kernel (ops/conv.py) was
+        # built and measured in round 3: it ties lax.conv within noise on
+        # the ch320/ch640 high-res classes (3.2-3.9 vs 3.5 ms) and loses to
+        # shift9 at ch1280/hw32 — so it is NOT routed; kept with tests as
+        # measured infrastructure (tools/opt3_results.jsonl r3conv_*).
         if H * W > 4096 and 64 <= cin <= 384:
             # level-0 class (e.g. ch320 @ 128x128): one im2col GEMM beats
             # the implicit-GEMM conv by ~9% (67 -> 74 TF/s measured). The

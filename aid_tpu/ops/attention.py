@@ -107,8 +107,12 @@ def dispatch_attention(
     compute (the jnp path ignores the hint; results are identical).
 
     Size heuristic: short-KV calls (cross-attention over 77 text or a few
-    IP tokens) materialize tiny logits — the XLA path beats the kernel's
-    fixed overhead there; the kernel takes over where logits get large."""
+    IP tokens) stay on the XLA logits path — measured FASTER than both the
+    per-(b,h) kernel grid and the head-looped single-block kernel (0.66 vs
+    0.77 ms on the SDXL S=1024 cross shape; tools/opt3_results.jsonl
+    r3cross_*): at K<=128 the cost is the per-head softmax itself, which
+    no launch restructuring removes. The kernel takes over where logits
+    get large (own-KV >= 512, incl. the S<=1024 single-block path)."""
     if resolve_backend(backend) == "flash" and k.shape[-2] >= 512:
         from aid_tpu.ops.flash_attention import flash_interpolated_attention
 

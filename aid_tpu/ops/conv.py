@@ -1,0 +1,91 @@
+"""Pallas TPU 3x3 stride-1 SAME convolution (shift-and-accumulate in VMEM).
+
+Motivation (PERF.md round-2/3): XLA's implicit-GEMM conv reaches only
+78-83 TF/s on the UNet's level-0 class (ch320 @ 128x128 spatial, the
+SD/SDXL high-resolution resnets) and the one-shot im2col alternative ties
+because it materializes a 9x patch tensor in HBM (~660 MB round trip per
+conv). This kernel is the im2col GEMM *without the patch tensor*: each
+(row-strip) block loads the input once into VMEM and accumulates the nine
+shifted (TH*W, Cin) @ (Cin, Cout) products on the MXU in f32.
+
+The dy row shifts are expressed as THREE non-overlapping row-strip views
+of the padded input (top/mid/bottom), sidestepping Pallas' no-overlap
+block indexing; the dx column shifts are in-VMEM sublane slices. Weights
+(3,3,Cin,Cout) stay resident across the whole grid (constant index map —
+the pipeline skips re-fetch). Param layout is HWIO like nn.Conv, so
+checkpoint converters are untouched (used by models.layers.Conv3x3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, TH: int, W: int):
+    rows_by_dy = (x0_ref, x1_ref, x2_ref)
+    cin = x0_ref.shape[-1]
+    acc = None
+    for dy in range(3):
+        rows = rows_by_dy[dy][0]  # (TH, W+2, Cin)
+        for dx in range(3):
+            xs = rows[:, dx:dx + W, :].reshape(TH * W, cin)
+            t = jax.lax.dot_general(
+                xs, w_ref[dy, dx], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = t if acc is None else acc + t
+    out = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = out.reshape(TH, W, -1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                 block_rows: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """y = conv2d(x, w, stride 1, SAME) + b.
+
+    x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; b: (Cout,).
+    H must be a multiple of ``block_rows``. Accumulates f32, returns x.dtype.
+    """
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, Cin), w.shape
+    assert H % block_rows == 0, (H, block_rows)
+    TH = block_rows
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # three non-overlapping row-strip views; view dy covers input rows
+    # [i*TH + dy, i*TH + dy + TH) of the padded tensor for output strip i
+    views = [jax.lax.slice_in_dim(xp, dy, dy + H, axis=1) for dy in range(3)]
+
+    w = w.astype(x.dtype)
+    b2 = b.reshape(1, Cout).astype(jnp.float32)
+
+    strip_spec = pl.BlockSpec((1, TH, W + 2, Cin), lambda bb, i: (bb, i, 0, 0))
+    kernel = functools.partial(_kernel, TH=TH, W=W)
+    try:
+        # the default 16 MB scoped-vmem budget rejects resident (3,3,Cin,
+        # Cout) weights at Cin>=512; v5e has 128 MB of VMEM — raise the cap
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    except TypeError:
+        cp = None
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // TH),
+        in_specs=[
+            strip_spec, strip_spec, strip_spec,
+            pl.BlockSpec((3, 3, Cin, Cout), lambda bb, i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda bb, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W, Cout), lambda bb, i: (bb, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        compiler_params=cp,
+        interpret=interpret,
+    )(views[0], views[1], views[2], w, b2)

@@ -211,6 +211,84 @@ def _kernel(
         o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _kernel_short(
+    lens_ref,  # [self_end, begin_end, end_end] absolute valid cols
+    coef_ref,  # (B,) f32
+    skip_ref,  # (B,) int32
+    q_ref,  # (1, H, bq, Dp)
+    k_ref,  # (1, H, Ltot, Dp) — the WHOLE packed KV stream
+    v_ref,
+    o_ref,  # (1, H, bq, Dp)
+    *,
+    mode: AttnMode,
+    scale: float,
+    n_self_cols: int,
+    n_begin_cols: int,
+    H: int,
+    exp_impl: str,
+):
+    """Short-KV kernel: whole packed stream resident, HEADS LOOPED IN-KERNEL.
+
+    Cross-attention (L=77), IP branches (L=4..16) and S<=1024 self calls
+    spend most of their time in per-grid-step overhead on the main kernel
+    (measured ~8 us/step at ~4 us of real work; the xla path is similarly
+    overhead-bound at 0.68 ms for work with a ~0.2 ms floor). Here the grid
+    is (B, q_blocks) — one step covers ALL heads via an in-kernel fori_loop
+    — so the fixed cost amortizes H-fold and the softmax is exact in one
+    pass (no scratch/init/finalize/rescale). Outer modes blend two
+    column-masked softmaxes of the SAME score matrix; skip rows reduce both
+    masks to the self segment (exactly vanilla attention)."""
+    b = pl.program_id(0)
+    bq, Dp = q_ref.shape[2], q_ref.shape[3]
+    Ltot = k_ref.shape[2]
+    exp_fn = jax.lax.exp2 if exp_impl == "exp2" else jnp.exp
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, Ltot), 1)
+    in_self = col < n_self_cols
+    in_begin = jnp.logical_and(col >= n_self_cols, col < n_self_cols + n_begin_cols)
+    in_end = col >= n_self_cols + n_begin_cols
+    valid = jnp.where(
+        in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2])
+    )
+    valid_mask = col < valid
+    if mode.is_outer:
+        skip = skip_ref[b] != 0
+        mask0 = jnp.logical_and(valid_mask, jnp.logical_or(
+            in_self, jnp.logical_and(in_begin, jnp.logical_not(skip))))
+        mask1 = jnp.logical_and(valid_mask, jnp.logical_or(
+            in_self, jnp.logical_and(in_end, jnp.logical_not(skip))))
+    else:
+        mask0 = valid_mask
+
+    def masked_softmax_pv(s, mask, v_h):
+        sm = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(sm, axis=-1, keepdims=True)
+        p = exp_fn(sm - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return pv / jnp.maximum(l, 1e-37)
+
+    def head(h, _):
+        q = q_ref[0, h]
+        k_h = k_ref[0, h]
+        s = jax.lax.dot_general(
+            q, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        v_h = v_ref[0, h]
+        out = masked_softmax_pv(s, mask0, v_h)
+        if mode.is_outer:
+            c = coef_ref[b]
+            out = (1.0 - c) * out + c * masked_softmax_pv(s, mask1, v_h)
+        o_ref[0, h] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, H, head, 0, unroll=False)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d", "exp_impl"),
@@ -231,7 +309,13 @@ def flash_interpolated_attention(
     block_k: int = 1024,
     interpret: bool = False,
     pad_d: bool = False,
-    exp_impl: str = "f32",  # "f32" | "bf16" | "exp2" (softmax exp strategy)
+    exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
+    # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
+    # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
+    # block-aligned self/fused_outer shapes (measured ±1% perf — the kernel
+    # is not exp-bound); its interaction with partial-block masking
+    # (NEG_INF in bf16) and pure_outer/inner is untested, and
+    # dispatch_attention never selects it.
 ) -> jnp.ndarray:
     """Flash interpolated attention (see module docstring).
 
@@ -275,6 +359,15 @@ def flash_interpolated_attention(
     # Mosaic's per-buffer limits at the default 1024-row blocks — cap each
     # q/kv block at ~512 KB (the regime the block sweep validated).
     itemsize = jnp.dtype(q.dtype).itemsize
+    if Dp * itemsize * LANES > 512 * 1024:
+        # The row clamp floors at LANES rows; past this point the minimum
+        # block already exceeds the 512 KB budget the clamp enforces, and
+        # Mosaic would fail with an opaque allocation error — fail loudly
+        # instead (no supported model hits this: needs D > 1024 at f32).
+        raise ValueError(
+            f"head dim {D} (padded {Dp}) at {q.dtype} needs "
+            f"{Dp * itemsize * LANES // 1024} KB for a minimum {LANES}-row "
+            "block, over the 512 KB Mosaic block budget; use the xla backend")
     max_rows = max(LANES, (512 * 1024) // (Dp * itemsize) // LANES * LANES)
     block_q = min(block_q, max_rows, _ceil_to(Sq, LANES))
     block_k = min(block_k, max_rows, _ceil_to(max(Lk, Le), LANES))
@@ -333,6 +426,43 @@ def flash_interpolated_attention(
     needs_mask = (include_self and Lkp != Lk) or (
         (mode.is_outer or mode.is_inner) and Lep != Le
     )
+
+    Ltot = kv_k.shape[seq_ax]
+    if Ltot <= 1024:
+        # short-KV path (see _kernel_short): whole stream in one block,
+        # heads looped in-kernel. Covers cross-attention and IP branches in
+        # EVERY mode plus S<=1024 self-attention.
+        kernel_scale1 = float(scale) * (1.4426950408889634 if exp_impl == "exp2" else 1.0)
+        k1 = functools.partial(
+            _kernel_short, mode=mode, scale=kernel_scale1,
+            n_self_cols=n_self * block_k, n_begin_cols=n_begin * block_k,
+            H=H, exp_impl=exp_impl,
+        )
+        q_spec1 = pl.BlockSpec((1, H, block_q, Dp), lambda b, i, *_: (b, 0, i, 0))
+        kv_spec1 = pl.BlockSpec((1, H, Ltot, Dp), lambda b, i, *_: (b, 0, 0, 0))
+        if skip_endpoints is None or not mode.is_fused:
+            skip1 = jnp.zeros((B,), jnp.int32)
+        else:
+            skip1 = skip_endpoints.astype(jnp.int32)
+        grid_spec1 = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, Sqp // block_q),
+            in_specs=[q_spec1, kv_spec1, kv_spec1],
+            out_specs=q_spec1,
+        )
+        try:
+            cp1 = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            )
+        except TypeError:
+            cp1 = None
+        out = pl.pallas_call(
+            k1, grid_spec=grid_spec1,
+            out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
+            compiler_params=cp1, interpret=interpret,
+        )(lens, cf, skip1, qp, kv_k, kv_v)
+        return out[:, :, :Sq, :D]
+
     n_sets = 2 if mode.is_outer else 1
     n_m = 2 if (mode.is_outer and not mode.is_fused) else 1
     # exp2 strategy: fold log2(e) into the score scale so in-kernel

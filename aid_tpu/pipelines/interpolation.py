@@ -609,6 +609,7 @@ class InterpolationPipeline:
         width: Optional[int] = None,
         num_inference_steps: int = 50,
         guidance_scale: Optional[float] = None,
+        num_images_per_prompt: int = 1,
         seed: int = 0,
         latents: Optional[jnp.ndarray] = None,
         output_type: str = "np",
@@ -616,12 +617,20 @@ class InterpolationPipeline:
         """Plain text-to-image (reference __call__, sd:1055-1403). Unlike the
         reference — which leaves freshly-loaded AID processors active in
         __call__ (a quirk; SURVEY.md §2.2) — plain generation here is always
-        vanilla attention."""
+        vanilla attention. ``num_images_per_prompt`` batches independent
+        samples from per-seed latents (reference sd:1075, prompt embeds
+        repeated per image)."""
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
         if latents is None:
-            latents = self.generate_latent(seed, height, width)
+            latents = jnp.concatenate([
+                self.generate_latent(seed + i, height, width)
+                for i in range(num_images_per_prompt)
+            ], axis=0)
         emb, uncond = self.encode_prompt(prompt, negative_prompt)[:2]
+        if latents.shape[0] > 1:
+            emb = jnp.repeat(emb, latents.shape[0], axis=0)
+            uncond = jnp.repeat(uncond, latents.shape[0], axis=0)
         state = self.scheduler.init(num_inference_steps, latent_shape=latents.shape)
         latents = latents * state.init_noise_sigma
         final, _ = engine.denoise_range(

@@ -31,6 +31,7 @@ _SLOW_MODULES = {
     "test_sdxl_ip.py",  # SDXL + IP-Adapter integration
     "test_params.py",  # converter round-trips (332 LoC of synthetic dicts)
     "test_schedulers_multistep.py",  # UniPC/EDM multistep traces
+    "test_parity.py",  # tiny-pipeline denoise runs (latent/embeds import)
 }
 
 

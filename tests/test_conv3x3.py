@@ -46,3 +46,41 @@ def test_conv3x3_heuristic_is_shape_stable():
         p = m.init(jax.random.PRNGKey(0), x)
         out = jax.jit(m.apply)(p, x)
         assert out.shape == (1, hw, hw, 32)
+
+
+class TestPallasConv:
+    """ops/conv.py shift-accumulate kernel vs lax.conv (interpret mode)."""
+
+    @pytest.mark.parametrize(
+        "shape", [(2, 16, 128, 320, 320), (1, 8, 64, 640, 640),
+                  (2, 16, 24, 12, 20), (1, 8, 128, 640, 320)])
+    def test_matches_lax_conv(self, shape):
+        from aid_tpu.ops.conv import conv3x3_same
+
+        B, H, W, Cin, Cout = shape
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.randn(Cout), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = conv3x3_same(x, w, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_bf16_matches_lax_conv_bf16(self):
+        from aid_tpu.ops.conv import conv3x3_same
+
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(1, 16, 128, 320), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, 320, 320) * 0.05, jnp.bfloat16)
+        b = jnp.zeros((320,), jnp.bfloat16)
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = conv3x3_same(x, w, b, interpret=True)
+        # both accumulate f32 on the MXU and round once to bf16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.05, rtol=0.05)

@@ -172,3 +172,28 @@ def test_exp_impl_bf16(mode):
     got = flash_interpolated_attention(q, k, v, coef, mode, block_q=128, block_k=128,
                                        interpret=True, exp_impl="bf16")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_vae_wide_head_shape_numerics():
+    """The VAE mid-block shape class (16k tokens at 1024px; here a reduced
+    1024 tokens, same D=512 f32 single-head config): 4 lane tiles, the
+    unpadded D%128==0 path, and the 512KB block clamp (max_rows=256 at
+    D=512 f32). Pinned numerically vs the jnp reference — ADVICE r2 #2
+    (previously only finite-checked by the hardware smoke matrix)."""
+    B, H, S, D = 1, 1, 1024, 512
+    q, k, v, coef = _data(B, H, S, S, D, seed=11)
+    want = interpolated_attention(q, k, v, coef, "self")
+    got = flash_interpolated_attention(
+        q, k, v, coef, "self", interpret=True,  # default blocks -> clamp path
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_over_budget_head_dim_fails_loudly():
+    """ADVICE r2 #3: a head dim whose minimum 128-row block exceeds the
+    512KB Mosaic budget must raise a clear error, not a Mosaic allocation
+    failure (D=2048 f32: 128 rows x 2048 lanes x 4B = 1MB)."""
+    B, H, S, D = 1, 1, 128, 2048
+    q, k, v, coef = _data(B, H, S, S, D, seed=3)
+    with pytest.raises(ValueError, match="block budget"):
+        flash_interpolated_attention(q, k, v, coef, "self", interpret=True)

@@ -243,3 +243,13 @@ class TestInterrupt:
             callback_on_chunk_end=zero_latents, output_type="latent",
         )
         np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_call_num_images_per_prompt(pipe):
+    """Reference __call__'s num_images_per_prompt (sd:1075): N independent
+    samples per prompt, per-seed latents."""
+    out = pipe("a cat", num_inference_steps=2, num_images_per_prompt=3, seed=7)
+    assert out.shape == (3, 16, 16, 3)
+    one = pipe("a cat", num_inference_steps=2, num_images_per_prompt=1, seed=7)
+    np.testing.assert_array_equal(out[0], one[0])  # seed-aligned first sample
+    assert np.any(out[1] != out[0])  # distinct latents -> distinct images

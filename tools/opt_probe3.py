@@ -1,0 +1,228 @@
+"""Round-3 probe set: single-kv-block kernel fast path, cross-attention
+backend threshold, batched-CFG batch sizes, bf16 VAE decode.
+
+Overhead-corrected (ITERS>=50 amortizes the ~28 ms tunnel dispatch; null-op
+floor ~0.6 ms, see PERF.md round-2 methodology).
+
+Run: python tools/opt_probe3.py [probe ...]
+Probes: flash, cross, fwd, batch, vae, null
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/aid_tpu_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+DT = jnp.bfloat16
+ITERS = 50
+B = 7
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "opt3_results.jsonl")
+
+
+def bench(name, fn, x, flops_per_iter=0.0, iters=ITERS):
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            return fn(c), None
+        y, _ = jax.lax.scan(body, x0, None, length=iters)
+        return jnp.sum(y.astype(jnp.float32))
+
+    float(run(x))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(x))
+        times.append(time.perf_counter() - t0)
+    per_iter = min(times) / iters
+    rec = json.dumps({
+        "probe": name, "ms_per_iter": round(per_iter * 1e3, 3),
+        "effective_tflops_s": round(flops_per_iter / per_iter / 1e12, 1) if flops_per_iter else 0.0,
+    })
+    print(rec, flush=True)
+    with open(RESULTS, "a") as f:
+        f.write(rec + "\n")
+    return per_iter
+
+
+def probe_null():
+    bench("null_op", lambda c: c * 1.000001, jnp.ones((8, 128), DT), 0)
+
+
+def _attn_inputs(b, h, s, l, d, dt=DT):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, h, s, d), dt)
+    k = jax.random.normal(ks[1], (b, h, l, d), dt)
+    v = jax.random.normal(ks[2], (b, h, l, d), dt)
+    coef = jnp.linspace(0, 1, b)
+    return q, k, v, coef
+
+
+def probe_flash():
+    """Self/fused at the SDXL shapes; S=1024 self now hits the fast path."""
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    for (h, s, mode) in [(20, 1024, "self"), (10, 4096, "self"),
+                         (20, 1024, "fused_outer"), (10, 4096, "fused_outer")]:
+        q, k, v, coef = _attn_inputs(B, h, s, s, 64)
+        mult = {"self": 1, "fused_outer": 3}[mode]
+        flops = 4 * B * h * s * (s * mult) * 64
+        bench(f"r3flash_{mode}_b{B}h{h}s{s}d64",
+              lambda c, k=k, v=v, coef=coef, mode=mode: flash_interpolated_attention(
+                  c, k, v, coef, mode) * 1.0 + c * 0.0,
+              q, flops)
+
+
+def probe_cross():
+    """Cross-attention L=77: xla path (current dispatch) vs the kernel fast
+    path — decides the dispatch threshold."""
+    from aid_tpu.ops.attention import interpolated_attention
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    for (h, s) in [(10, 4096), (20, 1024)]:
+        q, k, v, coef = _attn_inputs(B, h, s, 77, 64)
+        flops = 4 * B * h * s * 77 * 64
+        bench(f"r3cross_xla_b{B}h{h}s{s}L77",
+              lambda c, k=k, v=v, coef=coef: interpolated_attention(
+                  c, k, v, coef, "self") * 1.0 + c * 0.0, q, flops)
+        bench(f"r3cross_flash_b{B}h{h}s{s}L77",
+              lambda c, k=k, v=v, coef=coef: flash_interpolated_attention(
+                  c, k, v, coef, "self") * 1.0 + c * 0.0, q, flops)
+
+
+def _unet_setup(b):
+    from aid_tpu.models import UNet2DCondition, configs
+
+    cfg = configs.SDXL_UNET
+    unet = UNet2DCondition(cfg, dtype=DT)
+    x = jnp.full((b, 128, 128, 4), 0.01, DT)
+    ehs = jnp.full((b, 77, 2048), 0.01, DT)
+    added = {"text_embeds": jnp.full((b, 1280), 0.01, DT),
+             "time_ids": jnp.broadcast_to(
+                 jnp.array([1024., 1024., 0., 0., 1024., 1024.]), (b, 6))}
+    p = jax.eval_shape(lambda r: unet.init(r, x[:1], jnp.array(0), ehs[:1], None,
+                                           {k: v[:1] for k, v in added.items()}),
+                       jax.random.PRNGKey(0))
+    p = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, DT if s.dtype == jnp.float32 else s.dtype), p)
+    return unet, p, x, ehs, added
+
+
+def probe_fwd(iters=20):
+    """Post-kernel-change SDXL forward costs (vanilla + fused warmup)."""
+    from aid_tpu.models.layers import AidContext, AidMode
+
+    unet, p, x, ehs, added = _unet_setup(B)
+    coef = jnp.linspace(0, 1, B)
+    for name, aid in [("vanilla", None),
+                      ("fused", AidContext(coef=coef, mode=AidMode.from_name("fused_outer")))]:
+        bench(f"r3fwd_{name}_b{B}",
+              lambda c, aid=aid: unet.apply(p, c, jnp.array(500), ehs, aid, added) * 0.1,
+              x, 0.0, iters=iters)
+
+
+def probe_batch(iters=20):
+    """Batched-CFG candidates: one B=14/16 vanilla forward vs two B=7/8."""
+    from aid_tpu.models.layers import AidContext, AidMode
+
+    for b in (8, 14, 16):
+        unet, p, x, ehs, added = _unet_setup(b)
+        bench(f"r3fwd_vanilla_b{b}",
+              lambda c: unet.apply(p, c, jnp.array(500), ehs, None, added) * 0.1,
+              x, 0.0, iters=iters)
+        if b == 14:
+            coef = jnp.concatenate([jnp.linspace(0, 1, 7)] * 2)
+            aid = AidContext(coef=coef, mode=AidMode(text=AidMode.from_name("fused_outer").text,
+                                                     ip=None, ip_coef_scaled=False, cfg_split=7))
+            try:
+                bench(f"r3fwd_fused_cfgsplit_b{b}",
+                      lambda c, aid=aid: unet.apply(p, c, jnp.array(500), ehs, aid, added) * 0.1,
+                      x, 0.0, iters=iters)
+            except Exception as e:
+                print(json.dumps({"probe": f"r3fwd_fused_cfgsplit_b{b}", "error": str(e)[:200]}),
+                      flush=True)
+
+
+def probe_vae(iters=5):
+    """7-frame SDXL 1024px VAE decode: f32 (reference upcast policy) vs bf16."""
+    from aid_tpu.models import AutoencoderKL, configs
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, 128, 128, 4), jnp.float32) * 0.2
+    for dt, name in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+        vae = AutoencoderKL(configs.SDXL_VAE, dtype=dt)
+        p = jax.eval_shape(lambda r: vae.init(r, jnp.zeros((1, 64, 64, 3))),
+                           jax.random.PRNGKey(1))
+        p = jax.tree_util.tree_map(
+            lambda s: jnp.full(s.shape, 0.01, s.dtype), p)
+
+        @jax.jit
+        def dec(z0, p=p, vae=vae):
+            img = jax.lax.map(
+                lambda zi: vae.apply(p, zi[None], method="decode")[0], z0)
+            return jnp.sum(img.astype(jnp.float32))
+
+        float(dec(z))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(dec(z))
+            times.append(time.perf_counter() - t0)
+        rec = json.dumps({"probe": f"r3vae_decode_{name}_b{B}_1024px",
+                          "ms_total": round(min(times) * 1e3, 1)})
+        print(rec, flush=True)
+        with open(RESULTS, "a") as f:
+            f.write(rec + "\n")
+
+
+def probe_conv():
+    """Pallas shift-accumulate conv vs lax.conv on the UNet conv classes."""
+    from aid_tpu.ops.conv import conv3x3_same
+
+    rng = jax.random.PRNGKey(0)
+    for (ch, hw) in [(320, 128), (640, 64), (1280, 32), (640, 128)]:
+        x = jax.random.normal(rng, (B, hw, hw, ch), DT)
+        w = (jax.random.normal(rng, (3, 3, ch, ch), jnp.float32) * 0.02).astype(DT)
+        b = jnp.zeros((ch,), DT)
+        flops = 2 * B * hw * hw * 9 * ch * ch
+        def guard(name, fn, xx, fl):
+            try:
+                bench(name, fn, xx, fl, iters=30)
+            except Exception as e:
+                print(json.dumps({"probe": name, "error": repr(e)[:160]}), flush=True)
+
+        guard(f"r3conv_lax_{ch}_{hw}",
+              lambda c, w=w, b=b: jax.lax.conv_general_dilated(
+                  c, w, (1, 1), ((1, 1), (1, 1)),
+                  dimension_numbers=("NHWC", "HWIO", "NHWC")) + b * 0.0 + c * 0.0,
+              x, flops)
+        for th in (8, 16, 32):
+            if th > hw:
+                continue
+            guard(f"r3conv_pallas_{ch}_{hw}_th{th}",
+                  lambda c, w=w, b=b, th=th: conv3x3_same(c, w, b, block_rows=th) * 1.0 + c * 0.0,
+                  x, flops)
+
+
+PROBES = {
+    "null": probe_null,
+    "conv": probe_conv,
+    "flash": probe_flash,
+    "cross": probe_cross,
+    "fwd": probe_fwd,
+    "batch": probe_batch,
+    "vae": probe_vae,
+}
+
+
+if __name__ == "__main__":
+    print(json.dumps({"devices": str(jax.devices())}), flush=True)
+    for name in (sys.argv[1:] or ["null", "flash", "cross", "fwd"]):
+        PROBES[name]()
