@@ -132,16 +132,47 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+def conv_lowering(hw: int, cin: int) -> str:
+    """Pick the 3x3-conv lowering for a (spatial-size, cin) shape class.
+
+    Measured on v5e (tools/opt_results.jsonl, opt3_results.jsonl):
+      * ``shift9``  — nine shifted full-tensor einsums; wins at deep levels
+        (ch>=1280/hw<=32 ~1.6x lax, ch640/hw64 ~1.1x).
+      * ``im2col``  — one 9x-patch GEMM; wins ~9% on the shallow narrow
+        class (ch<=384 @ hw>4096) where the MXU is K-starved.
+      * ``pallas``  — ops.conv shift-accumulate kernel (im2col GEMM without
+        the HBM patch tensor); wins on wide-channel high-res classes
+        (cin>=512 @ hw>4096, e.g. the SDXL up-block concat convs:
+        7.6 vs 8.2 ms at ch640/hw128) where the patch tensor would be
+        ~660 MB and lax.conv's halo overhead bites.
+      * ``lax``     — XLA implicit-GEMM conv for everything else.
+
+    Module-level and monkeypatchable so probe harnesses can A/B routings
+    on a full forward (tools/opt_probe3.py fwdconv).
+    """
+    if hw <= 4096 and cin >= 640:
+        return "shift9"
+    if hw > 4096 and 64 <= cin <= 384:
+        return "im2col"
+    if hw > 4096 and cin >= 512 and _PALLAS_WIDE_CONV:
+        return "pallas"
+    return "lax"
+
+
+# Routing flag for the wide-channel high-res Pallas conv class; default ON
+# (measured faster on v5e, tools/opt3_results.jsonl r3conv_*_640_128), can
+# be flipped by probe harnesses for A/B on a full forward.
+_PALLAS_WIDE_CONV = True
+
+
 class Conv3x3(nn.Module):
-    """3x3 same-padding conv; shift-and-matmul lowering on deep levels.
+    """3x3 same-padding conv; per-shape-class lowering (see conv_lowering).
 
     XLA's implicit-GEMM conv lowering reaches only ~45% of the chip's
-    measured matmul rate at the UNet's deeper levels, while nine shifted
-    (B*H*W, Cin) @ (Cin, Cout) GEMMs reach ~1.6x that at ch>=1280/hw<=32
-    and ~1.1x at ch640/hw64 (v5e, tools/opt_results.jsonl). At the shallow
-    high-resolution levels the implicit GEMM wins, so the lowering is
-    picked per shape. Param layout matches nn.Conv (HWIO kernel + bias),
-    keeping every checkpoint converter unchanged.
+    measured matmul rate at the UNet's deeper levels; shifted-GEMM
+    formulations beat it everywhere except the shallow high-res classes.
+    Param layout matches nn.Conv (HWIO kernel + bias), keeping every
+    checkpoint converter unchanged.
     """
 
     features: int
@@ -157,7 +188,8 @@ class Conv3x3(nn.Module):
         w = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         _, H, W, _ = x.shape
-        if H * W <= 4096 and cin >= 640:
+        impl = conv_lowering(H * W, cin)
+        if impl == "shift9":
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             out = None
             for dy in range(3):
@@ -167,12 +199,7 @@ class Conv3x3(nn.Module):
                         preferred_element_type=jnp.float32)
                     out = t if out is None else out + t
             return (out + b.astype(jnp.float32)).astype(self.dtype)
-        # NOTE: a Pallas shift-accumulate conv kernel (ops/conv.py) was
-        # built and measured in round 3: it ties lax.conv within noise on
-        # the ch320/ch640 high-res classes (3.2-3.9 vs 3.5 ms) and loses to
-        # shift9 at ch1280/hw32 — so it is NOT routed; kept with tests as
-        # measured infrastructure (tools/opt3_results.jsonl r3conv_*).
-        if H * W > 4096 and 64 <= cin <= 384:
+        if impl == "im2col":
             # level-0 class (e.g. ch320 @ 128x128): one im2col GEMM beats
             # the implicit-GEMM conv by ~9% (67 -> 74 TF/s measured). The
             # MXU accumulates f32 internally and rounds once at the bf16
@@ -184,6 +211,9 @@ class Conv3x3(nn.Module):
             ], axis=-1)
             out = jnp.einsum("bhwk,ko->bhwo", cols, w.reshape(9 * cin, -1))
             return out + b
+        if impl == "pallas" and H % 8 == 0 and jax.default_backend() == "tpu":
+            from aid_tpu.ops.conv import conv3x3_same
+            return conv3x3_same(x, w, b, block_rows=8)
         out = jax.lax.conv_general_dilated(
             x, w, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

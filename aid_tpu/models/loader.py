@@ -107,8 +107,21 @@ def load_unet(path: str, dtype=jnp.bfloat16):
     return module, params
 
 
-def load_vae(path: str, dtype=jnp.float32):
+def vae_decode_dtype(cfg: C.VAEConfig):
+    """force_upcast=True -> float32, False -> bfloat16 (see load_vae)."""
+    return jnp.float32 if cfg.force_upcast else jnp.bfloat16
+
+
+def load_vae(path: str, dtype=None):
+    """dtype=None honors the checkpoint's ``force_upcast``: True (SD/SDXL
+    default) -> float32 decode (reference upcast_vae,
+    pipeline_interpolated_sdxl.py:2347-2357); False (sdxl-vae-fp16-fix,
+    playground-v2.5) -> bfloat16 decode — the reference runs those VAEs in
+    fp16, bf16 is the TPU-native half precision (~3x faster decode on v5e,
+    tools/opt3_results.jsonl r3vae_decode_*)."""
     cfg = vae_config_from_diffusers(_read_config(path))
+    if dtype is None:
+        dtype = vae_decode_dtype(cfg)
     module = AutoencoderKL(cfg, dtype=dtype)
     params = convert_vae_state_dict(load_safetensors(path))
     return module, params

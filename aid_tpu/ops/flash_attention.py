@@ -226,6 +226,8 @@ def _kernel_short(
     n_begin_cols: int,
     H: int,
     exp_impl: str,
+    needs_mask: bool,
+    unroll: int,
 ):
     """Short-KV kernel: whole packed stream resident, HEADS LOOPED IN-KERNEL.
 
@@ -235,41 +237,64 @@ def _kernel_short(
     overhead-bound at 0.68 ms for work with a ~0.2 ms floor). Here the grid
     is (B, q_blocks) — one step covers ALL heads via an in-kernel fori_loop
     — so the fixed cost amortizes H-fold and the softmax is exact in one
-    pass (no scratch/init/finalize/rescale). Outer modes blend two
-    column-masked softmaxes of the SAME score matrix; skip rows reduce both
-    masks to the self segment (exactly vanilla attention)."""
+    pass (no scratch/init/finalize/rescale).
+
+    VPU economy (this kernel is softmax-VPU-bound, not MXU-bound —
+    tools/opt3_results.jsonl r3flash_self_b7h20s1024d64 = 33 TF/s):
+      * ``needs_mask=False`` (every segment exactly fills its padded span
+        and no endpoint skip is in play) elides the per-head (bq, Ltot)
+        mask select entirely.
+      * Outer modes compute exp ONCE over the union stream under a shared
+        max, then take two masked row-sums and two masked PV matmuls —
+        the shared max is only a stability offset, so each set's softmax
+        stays exact. Skip rows zero both endpoint segments, reducing both
+        sets to exactly vanilla attention."""
     b = pl.program_id(0)
     bq, Dp = q_ref.shape[2], q_ref.shape[3]
     Ltot = k_ref.shape[2]
     exp_fn = jax.lax.exp2 if exp_impl == "exp2" else jnp.exp
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, Ltot), 1)
-    in_self = col < n_self_cols
-    in_begin = jnp.logical_and(col >= n_self_cols, col < n_self_cols + n_begin_cols)
-    in_end = col >= n_self_cols + n_begin_cols
-    valid = jnp.where(
-        in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2])
-    )
-    valid_mask = col < valid
+    if mode.is_outer or needs_mask:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, Ltot), 1)
+        in_self = col < n_self_cols
+        in_begin = jnp.logical_and(col >= n_self_cols, col < n_self_cols + n_begin_cols)
+        in_end = col >= n_self_cols + n_begin_cols
+        valid = jnp.where(
+            in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2])
+        )
+        valid_mask = col < valid
     if mode.is_outer:
         skip = skip_ref[b] != 0
         mask0 = jnp.logical_and(valid_mask, jnp.logical_or(
             in_self, jnp.logical_and(in_begin, jnp.logical_not(skip))))
         mask1 = jnp.logical_and(valid_mask, jnp.logical_or(
             in_self, jnp.logical_and(in_end, jnp.logical_not(skip))))
-    else:
-        mask0 = valid_mask
+        # 0/1 weights in the exp dtype: the exp is shared across sets, so
+        # set membership is applied as a multiply on p (VPU mul, far
+        # cheaper than a second exp pass over the stream)
+        wdt = jnp.bfloat16 if exp_impl == "bf16" else jnp.float32
+        w0 = mask0.astype(wdt)
+        w1 = mask1.astype(wdt)
+        union = jnp.logical_or(mask0, mask1)
 
-    def masked_softmax_pv(s, mask, v_h):
-        sm = jnp.where(mask, s, NEG_INF)
+    def exp_rows(sm):
+        """p = exp(sm - rowmax); bf16 impl packs 2 lanes per VPU op and
+        feeds the PV matmul directly (probabilities are cast to the input
+        dtype for PV in every impl)."""
         m = jnp.max(sm, axis=-1, keepdims=True)
-        p = exp_fn(sm - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
+        if exp_impl == "bf16":
+            return jnp.exp((sm - m).astype(jnp.bfloat16))
+        return exp_fn(sm - m)
+
+    def pv(p, v_h):
+        return jax.lax.dot_general(
             p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return pv / jnp.maximum(l, 1e-37)
+
+    def lsum(p):
+        return jnp.maximum(
+            jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32), 1e-37)
 
     def head(h, _):
         q = q_ref[0, h]
@@ -279,19 +304,25 @@ def _kernel_short(
             preferred_element_type=jnp.float32,
         ) * scale
         v_h = v_ref[0, h]
-        out = masked_softmax_pv(s, mask0, v_h)
         if mode.is_outer:
             c = coef_ref[b]
-            out = (1.0 - c) * out + c * masked_softmax_pv(s, mask1, v_h)
+            p = exp_rows(jnp.where(union, s, NEG_INF))
+            p0, p1 = p * w0, p * w1
+            out = ((1.0 - c) * (pv(p0, v_h) / lsum(p0))
+                   + c * (pv(p1, v_h) / lsum(p1)))
+        else:
+            p = exp_rows(jnp.where(valid_mask, s, NEG_INF) if needs_mask else s)
+            out = pv(p, v_h) / lsum(p)
         o_ref[0, h] = out.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, H, head, 0, unroll=False)
+    jax.lax.fori_loop(0, H, head, 0, unroll=unroll if unroll > 1 else False)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d", "exp_impl"),
+    static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d",
+                     "exp_impl", "short_unroll"),
 )
 def flash_interpolated_attention(
     q: jnp.ndarray,  # (B, H, Sq, D)
@@ -309,6 +340,7 @@ def flash_interpolated_attention(
     block_k: int = 1024,
     interpret: bool = False,
     pad_d: bool = False,
+    short_unroll: int = 1,  # head-loop unroll factor in the short-KV kernel
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -436,7 +468,8 @@ def flash_interpolated_attention(
         k1 = functools.partial(
             _kernel_short, mode=mode, scale=kernel_scale1,
             n_self_cols=n_self * block_k, n_begin_cols=n_begin * block_k,
-            H=H, exp_impl=exp_impl,
+            H=H, exp_impl=exp_impl, needs_mask=needs_mask,
+            unroll=short_unroll,
         )
         q_spec1 = pl.BlockSpec((1, H, block_q, Dp), lambda b, i, *_: (b, 0, i, 0))
         kv_spec1 = pl.BlockSpec((1, H, Ltot, Dp), lambda b, i, *_: (b, 0, 0, 0))

@@ -37,6 +37,19 @@ def test_conv3x3_matches_nn_conv(hw, cin, cout):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_conv_lowering_policy():
+    """Pin the per-class routing (measured on v5e, tools/opt3_results.jsonl)."""
+    from aid_tpu.models.layers import conv_lowering
+
+    assert conv_lowering(32 * 32, 1280) == "shift9"
+    assert conv_lowering(64 * 64, 640) == "shift9"
+    assert conv_lowering(128 * 128, 320) == "im2col"
+    assert conv_lowering(128 * 128, 640) == "pallas"   # SDXL up concat
+    assert conv_lowering(128 * 128, 960) == "pallas"
+    assert conv_lowering(64 * 64, 320) == "lax"
+    assert conv_lowering(128 * 128, 4) == "lax"
+
+
 def test_conv3x3_heuristic_is_shape_stable():
     """Both lowerings trace under jit with no shape errors at the routing
     boundary (H*W == 4096, cin == 640)."""
@@ -53,7 +66,8 @@ class TestPallasConv:
 
     @pytest.mark.parametrize(
         "shape", [(2, 16, 128, 320, 320), (1, 8, 64, 640, 640),
-                  (2, 16, 24, 12, 20), (1, 8, 128, 640, 320)])
+                  (2, 16, 24, 12, 20), (1, 8, 128, 640, 320),
+                  (1, 8, 128, 960, 320)])  # SDXL up-block concat class
     def test_matches_lax_conv(self, shape):
         from aid_tpu.ops.conv import conv3x3_same
 

@@ -154,12 +154,14 @@ def test_fuzz_random_shapes(seed):
     bk = int(rng.choice([128, 256]))
     pad_d = bool(rng.choice([False, True]))
     exp_impl = str(rng.choice(["f32", "exp2"]))  # bf16 covered separately (looser tol)
+    unroll = int(rng.choice([1, 2, 4]))  # short-KV head-loop unroll
     want = interpolated_attention(q, k, v, coef, mode)
     got = flash_interpolated_attention(q, k, v, coef, mode, block_q=bq, block_k=bk,
-                                       interpret=True, pad_d=pad_d, exp_impl=exp_impl)
+                                       interpret=True, pad_d=pad_d, exp_impl=exp_impl,
+                                       short_unroll=unroll)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4,
-        err_msg=f"B{B} H{H} S{S} L{L} D{D} {mode} bq{bq} bk{bk} pad{pad_d} {exp_impl}")
+        err_msg=f"B{B} H{H} S{S} L{L} D{D} {mode} bq{bq} bk{bk} pad{pad_d} {exp_impl} u{unroll}")
 
 
 @pytest.mark.parametrize("mode", ["self", "fused_outer"])
@@ -170,6 +172,18 @@ def test_exp_impl_bf16(mode):
     q, k, v, coef = _data(3, 2, 128, 128, 64, seed=9)
     want = interpolated_attention(q, k, v, coef, mode)
     got = flash_interpolated_attention(q, k, v, coef, mode, block_q=128, block_k=128,
+                                       interpret=True, exp_impl="bf16")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["self", "pure_outer", "fused_outer", "fused_inner"])
+def test_exp_impl_bf16_short_path_masked(mode):
+    """bf16-exp through the short-KV kernel with partial-block masking
+    (L=77 pads to 128: NEG_INF survives the bf16 cast as a large-negative
+    finite value, exp -> 0) and the one-exp two-mask outer path."""
+    q, k, v, coef = _data(4, 3, 64, 77, 64, seed=13)
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(q, k, v, coef, mode,
                                        interpret=True, exp_impl="bf16")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 

@@ -256,3 +256,30 @@ class TestSafetyChecker:
         px = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
         flags = checker.apply(params, px)
         assert flags.shape == (1,)
+
+
+class TestVAEDecodeDtype:
+    """force_upcast-aware decode precision (reference upcast_vae,
+    pipeline_interpolated_sdxl.py:2347-2357: upcast to fp32 only when
+    vae.config.force_upcast; fp16-fix / playground VAEs set it False)."""
+
+    def test_force_upcast_true_is_f32(self):
+        import jax.numpy as jnp
+        from aid_tpu.models import configs as C
+        from aid_tpu.models.loader import vae_decode_dtype
+
+        assert vae_decode_dtype(C.VAEConfig(force_upcast=True)) == jnp.float32
+
+    def test_force_upcast_false_is_bf16(self):
+        import jax.numpy as jnp
+        from aid_tpu.models import configs as C
+        from aid_tpu.models.loader import vae_decode_dtype
+
+        assert vae_decode_dtype(C.VAEConfig(force_upcast=False)) == jnp.bfloat16
+
+    def test_config_roundtrip(self):
+        from aid_tpu.models.loader import vae_config_from_diffusers
+
+        cfg = vae_config_from_diffusers(
+            {"block_out_channels": [32, 64], "force_upcast": False})
+        assert cfg.force_upcast is False

@@ -211,12 +211,64 @@ def probe_conv():
                   x, flops)
 
 
+def probe_sm():
+    """Softmax-economy variants: exp_impl x short_unroll at the SDXL hot
+    shapes. The short-KV kernel (S=1024 self) is softmax-VPU-bound at
+    33 TF/s; the main kernel (S=4096) sits 1.4x off its half-rate ceiling
+    with per-block softmax as the prime suspect."""
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    # short kernel: self@1024 h20 (60 calls per SDXL forward)
+    q, k, v, coef = _attn_inputs(B, 20, 1024, 1024, 64)
+    flops = 4 * B * 20 * 1024 * 1024 * 64
+    for impl in ("f32", "exp2", "bf16"):
+        for u in (1, 2, 4):
+            bench(f"r3sm_short_self1024_{impl}_u{u}",
+                  lambda c, impl=impl, u=u: flash_interpolated_attention(
+                      c, k, v, coef, "self", exp_impl=impl, short_unroll=u
+                  ) * 1.0 + c * 0.0, q, flops)
+    # main kernel: self/fused @4096 h10 (10 calls per forward each)
+    for mode, mult in (("self", 1), ("fused_outer", 3)):
+        q4, k4, v4, coef4 = _attn_inputs(B, 10, 4096, 4096, 64)
+        flops4 = 4 * B * 10 * 4096 * (4096 * mult) * 64
+        for impl in ("f32", "exp2", "bf16"):
+            bench(f"r3sm_main_{mode}4096_{impl}",
+                  lambda c, impl=impl, mode=mode, k4=k4, v4=v4, coef4=coef4:
+                  flash_interpolated_attention(
+                      c, k4, v4, coef4, mode, exp_impl=impl
+                  ) * 1.0 + c * 0.0, q4, flops4)
+    # main kernel: fused_outer @1024 h20 (Ltot=3072; 60 warmup calls/fwd)
+    qf, kf, vf, coeff = _attn_inputs(B, 20, 1024, 1024, 64)
+    flopsf = 4 * B * 20 * 1024 * 3072 * 64
+    for impl in ("f32", "exp2", "bf16"):
+        bench(f"r3sm_main_fused1024_{impl}",
+              lambda c, impl=impl: flash_interpolated_attention(
+                  c, kf, vf, coeff, "fused_outer", exp_impl=impl
+              ) * 1.0 + c * 0.0, qf, flopsf)
+
+
+def probe_fwdconv(iters=20):
+    """Full SDXL forward with the wide-channel Pallas conv routed vs not
+    (conv_lowering policy A/B on the real workload)."""
+    from aid_tpu.models import layers
+
+    for flag in (False, True):
+        layers._PALLAS_WIDE_CONV = flag
+        unet, p, x, ehs, added = _unet_setup(B)
+        bench(f"r3fwd_vanilla_b{B}_pallasconv{int(flag)}",
+              lambda c: unet.apply(p, c, jnp.array(500), ehs, None, added) * 0.1,
+              x, 0.0, iters=iters)
+    layers._PALLAS_WIDE_CONV = True
+
+
 PROBES = {
     "null": probe_null,
     "conv": probe_conv,
     "flash": probe_flash,
     "cross": probe_cross,
     "fwd": probe_fwd,
+    "fwdconv": probe_fwdconv,
+    "sm": probe_sm,
     "batch": probe_batch,
     "vae": probe_vae,
 }
