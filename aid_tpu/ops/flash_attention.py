@@ -316,7 +316,10 @@ def _kernel_short(
         o_ref[0, h] = out.astype(o_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, H, head, 0, unroll=unroll if unroll > 1 else False)
+    # Mosaic only lowers unroll=1 or unroll=num_steps for in-kernel loops;
+    # any unroll>1 request means FULL head unroll (lets the scheduler
+    # software-pipeline MXU score matmuls against VPU softmax across heads)
+    jax.lax.fori_loop(0, H, head, 0, unroll=H if unroll > 1 else False)
 
 
 @functools.partial(
@@ -484,8 +487,14 @@ def flash_interpolated_attention(
             out_specs=q_spec1,
         )
         try:
+            # whole-stream blocks at (1, H, 1024, Dp) x q/k/v/out exceed the
+            # default ~23 MB scoped-vmem budget once double-buffered (seen
+            # as a compile-time stack OOM inside large programs at B=7 H=20
+            # — standalone compiles pass, full denoise programs don't);
+            # v5e has 128 MB of VMEM, raise the cap like ops/conv.py does
             cp1 = pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
             )
         except TypeError:
             cp1 = None

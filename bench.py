@@ -19,7 +19,9 @@ baseline derivation"): bracket 0.070-0.106 frames/s, divisor pinned at
 0.098 (conservative side of central, unchanged since round 1).
 ``vs_same_chip_reference_workflow`` is the PRIMARY, fully measured
 comparison: this same v5e running the reference's own five-3-frame-runs
-workflow measured 61.5 s/sequence = 0.114 frames/s (PERF.md round 2).
+workflow, re-measured every round with the current kernels (round 3:
+46.4 s/sequence = 0.1508 frames/s) so the ratio isolates the sequence-
+batching redesign, not kernel differences.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
@@ -42,7 +44,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_BASELINE_FRAMES_PER_SEC = 0.098  # estimated; bracket below (BASELINE.md)
 A100_BASELINE_BRACKET = (0.070, 0.106)
-SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC = 0.114  # measured on this v5e (PERF.md r2)
+SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC = 0.1508  # measured on this v5e
+# (round 3, tools/opt3_results.jsonl r3_same_chip_reference_workflow: the
+# reference's five-3-frame-runs recipe on THIS engine/kernels = 9.28 s per
+# 3-frame run; both sides of the ratio use the same round-3 kernels)
 
 NUM_STEPS = 28
 FRAMES = 7

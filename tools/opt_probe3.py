@@ -222,7 +222,7 @@ def probe_sm():
     q, k, v, coef = _attn_inputs(B, 20, 1024, 1024, 64)
     flops = 4 * B * 20 * 1024 * 1024 * 64
     for impl in ("f32", "exp2", "bf16"):
-        for u in (1, 2, 4):
+        for u in (1, 4):
             bench(f"r3sm_short_self1024_{impl}_u{u}",
                   lambda c, impl=impl, u=u: flash_interpolated_attention(
                       c, k, v, coef, "self", exp_impl=impl, short_unroll=u
