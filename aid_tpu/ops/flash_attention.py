@@ -211,92 +211,98 @@ def _kernel(
         o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _kernel_short(
+def _kernel_onepass(
     lens_ref,  # [self_end, begin_end, end_end] absolute valid cols
     coef_ref,  # (B,) f32
     skip_ref,  # (B,) int32
-    q_ref,  # (1, H, bq, Dp)
-    k_ref,  # (1, H, Ltot, Dp) — the WHOLE packed KV stream
+    q_ref,  # (1, Hb, bq, Dp)
+    k_ref,  # (1, Hb, Ltot, Dp) — the WHOLE packed KV stream (head group)
     v_ref,
-    o_ref,  # (1, H, bq, Dp)
+    o_ref,  # (1, Hb, bq, Dp)
     *,
     mode: AttnMode,
     scale: float,
     n_self_cols: int,
     n_begin_cols: int,
-    H: int,
+    H: int,  # heads per grid step (the head-group size)
     exp_impl: str,
     needs_mask: bool,
     unroll: int,
 ):
-    """Short-KV kernel: whole packed stream resident, HEADS LOOPED IN-KERNEL.
+    """One-pass kernel: whole packed stream resident, heads looped in-kernel.
 
-    Cross-attention (L=77), IP branches (L=4..16) and S<=1024 self calls
+    Cross-attention (L=77), IP branches (L=4..16) and short self calls
     spend most of their time in per-grid-step overhead on the main kernel
     (measured ~8 us/step at ~4 us of real work; the xla path is similarly
     overhead-bound at 0.68 ms for work with a ~0.2 ms floor). Here the grid
-    is (B, q_blocks) — one step covers ALL heads via an in-kernel fori_loop
-    — so the fixed cost amortizes H-fold and the softmax is exact in one
-    pass (no scratch/init/finalize/rescale).
+    is (B, H/Hb, q_blocks) — one step covers a whole head group via an
+    in-kernel loop — so the fixed cost amortizes and the softmax is exact
+    in one pass (no scratch/init/finalize/rescale).
 
-    VPU economy (this kernel is softmax-VPU-bound, not MXU-bound —
-    tools/opt3_results.jsonl r3flash_self_b7h20s1024d64 = 33 TF/s):
-      * ``needs_mask=False`` (every segment exactly fills its padded span
-        and no endpoint skip is in play) elides the per-head (bq, Ltot)
-        mask select entirely.
-      * Outer modes compute exp ONCE over the union stream under a shared
-        max, then take two masked row-sums and two masked PV matmuls —
-        the shared max is only a stability offset, so each set's softmax
-        stays exact. Skip rows zero both endpoint segments, reducing both
-        sets to exactly vanilla attention."""
+    SEGMENT-DECOMPOSED softmax (this path is softmax-VPU-bound, not
+    MXU-bound — tools/opt3_results.jsonl r3flash_self_b7h20s1024d64 =
+    33 TF/s under the earlier union-masked design):
+
+      * ONE QK matmul over the full stream, then per-segment
+        (self / begin / end / cross) row-max, exp, row-sum and PV on static
+        lane-aligned slices of the logits.
+      * Set membership is STRUCTURAL — set 0 = {self, begin}, set 1 =
+        {self, end} — so no per-element set masks (w0/w1 multiplies of the
+        old design) exist at all, and the self-segment PV matmul is shared
+        by both sets: outer-mode MXU work drops from QK + 2 full-stream PVs
+        to QK + one PV per segment (-33% at Ltot = 3S).
+      * Segments combine flash-style at (bq, 1) granularity:
+        out_set = sum_seg(pv_seg * e^{m_seg - m_set}) /
+                  sum_seg(l_seg  * e^{m_seg - m_set});
+        exact per-SET maxima (the old shared-max-over-union could underflow
+        the weaker stream of pure_outer; segment maxima are exact for every
+        mode at no extra stream-wide VPU work).
+      * Skip rows (endpoint frames whose interpolated result provably
+        equals vanilla attention) gate the endpoint/cross segments with
+        SCALAR selects on the (bq, 1)/(bq, Dp) combine terms — the per-row
+        guarantee the main kernel gets from predication, without its
+        control flow.
+      * ``needs_mask=False`` (every segment exactly fills its padded span)
+        elides tail masking entirely; otherwise each segment masks only its
+        own (bq, seg_width) slice."""
     b = pl.program_id(0)
     bq, Dp = q_ref.shape[2], q_ref.shape[3]
     Ltot = k_ref.shape[2]
     exp_fn = jax.lax.exp2 if exp_impl == "exp2" else jnp.exp
 
-    if mode.is_outer or needs_mask:
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, Ltot), 1)
-        in_self = col < n_self_cols
-        in_begin = jnp.logical_and(col >= n_self_cols, col < n_self_cols + n_begin_cols)
-        in_end = col >= n_self_cols + n_begin_cols
-        valid = jnp.where(
-            in_self, lens_ref[0], jnp.where(in_begin, lens_ref[1], lens_ref[2])
-        )
-        valid_mask = col < valid
+    # static segment table: (start, width, lens-slot)
+    segments = []
+    if n_self_cols:
+        segments.append((0, n_self_cols, 0))
     if mode.is_outer:
-        skip = skip_ref[b] != 0
-        mask0 = jnp.logical_and(valid_mask, jnp.logical_or(
-            in_self, jnp.logical_and(in_begin, jnp.logical_not(skip))))
-        mask1 = jnp.logical_and(valid_mask, jnp.logical_or(
-            in_self, jnp.logical_and(in_end, jnp.logical_not(skip))))
-        # 0/1 weights in the exp dtype: the exp is shared across sets, so
-        # set membership is applied as a multiply on p (VPU mul, far
-        # cheaper than a second exp pass over the stream)
-        wdt = jnp.bfloat16 if exp_impl == "bf16" else jnp.float32
-        w0 = mask0.astype(wdt)
-        w1 = mask1.astype(wdt)
-        union = jnp.logical_or(mask0, mask1)
+        segments.append((n_self_cols, n_begin_cols, 1))
+        segments.append((n_self_cols + n_begin_cols, Ltot - n_self_cols - n_begin_cols, 2))
+    elif mode.is_inner:
+        segments.append((n_self_cols, Ltot - n_self_cols, 1))
+    if not segments:  # plain SELF over the whole stream
+        segments.append((0, Ltot, 0))
+    # which segments each accumulator set sums over (indices into `segments`)
+    if mode.is_outer:
+        own = [0] if n_self_cols else []
+        sets = [own + [len(segments) - 2], own + [len(segments) - 1]]
+        # endpoint segments are skippable in fused modes; pure modes never
+        # receive a skip vector (forced zero at the caller)
+        skippable = {len(segments) - 2, len(segments) - 1}
+    elif mode.is_inner:
+        sets = [list(range(len(segments)))]
+        skippable = {len(segments) - 1} if mode.is_fused else set()
+    else:
+        sets = [[0]]
+        skippable = set()
 
-    def exp_rows(sm):
-        """p = exp(sm - rowmax); bf16 impl packs 2 lanes per VPU op and
-        feeds the PV matmul directly (probabilities are cast to the input
-        dtype for PV in every impl)."""
-        m = jnp.max(sm, axis=-1, keepdims=True)
+    skip = skip_ref[b] != 0
+
+    def exp_rows(sm, m):
         if exp_impl == "bf16":
             return jnp.exp((sm - m).astype(jnp.bfloat16))
         return exp_fn(sm - m)
 
-    def pv(p, v_h):
-        return jax.lax.dot_general(
-            p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def lsum(p):
-        return jnp.maximum(
-            jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32), 1e-37)
-
-    def head(h, _):
+    def head(h):
         q = q_ref[0, h]
         k_h = k_ref[0, h]
         s = jax.lax.dot_general(
@@ -304,28 +310,80 @@ def _kernel_short(
             preferred_element_type=jnp.float32,
         ) * scale
         v_h = v_ref[0, h]
+
+        stats = []  # per segment: (m, l, pv) at (bq,1)/(bq,1)/(bq,Dp) f32
+        for (start, width, slot) in segments:
+            s_seg = jax.lax.slice(s, (0, start), (bq, start + width))
+            if needs_mask:
+                col = jax.lax.broadcasted_iota(jnp.int32, (bq, width), 1)
+                s_seg = jnp.where(col + start < lens_ref[slot], s_seg, NEG_INF)
+            m_seg = jnp.max(s_seg, axis=-1, keepdims=True)
+            p_seg = exp_rows(s_seg, m_seg)
+            l_seg = jnp.sum(p_seg, axis=-1, keepdims=True, dtype=jnp.float32)
+            pv_seg = jax.lax.dot_general(
+                p_seg.astype(v_h.dtype),
+                jax.lax.slice(v_h, (start, 0), (start + width, Dp)),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            stats.append((m_seg, l_seg, pv_seg))
+
+        outs = []
+        for members in sets:
+            live = [i for i in members if i not in skippable]
+            gated = [i for i in members if i in skippable]
+            # m_set over the segments that actually contribute: skip rows
+            # exclude the gated segments (scalar select — `skip` is a
+            # per-grid-step scalar, so this is branch-free row math)
+            m_live = stats[live[0]][0] if live else None
+            for i in live[1:]:
+                m_live = jnp.maximum(m_live, stats[i][0])
+            if gated:
+                m_all = m_live
+                for i in gated:
+                    m_all = stats[i][0] if m_all is None else jnp.maximum(m_all, stats[i][0])
+                m_set = m_all if m_live is None else jnp.where(skip, m_live, m_all)
+            else:
+                m_set = m_live
+            num = jnp.zeros((bq, Dp), jnp.float32)
+            den = jnp.zeros((bq, 1), jnp.float32)
+            for i in members:
+                m_seg, l_seg, pv_seg = stats[i]
+                w = exp_fn(m_seg - m_set) if exp_impl != "bf16" else jnp.exp(m_seg - m_set)
+                if i in skippable:
+                    w = jnp.where(skip, 0.0, w)
+                num = num + pv_seg * w
+                den = den + l_seg * w
+            outs.append(num / jnp.maximum(den, 1e-37))
+
         if mode.is_outer:
             c = coef_ref[b]
-            p = exp_rows(jnp.where(union, s, NEG_INF))
-            p0, p1 = p * w0, p * w1
-            out = ((1.0 - c) * (pv(p0, v_h) / lsum(p0))
-                   + c * (pv(p1, v_h) / lsum(p1)))
+            out = (1.0 - c) * outs[0] + c * outs[1]
         else:
-            p = exp_rows(jnp.where(valid_mask, s, NEG_INF) if needs_mask else s)
-            out = pv(p, v_h) / lsum(p)
+            out = outs[0]
         o_ref[0, h] = out.astype(o_ref.dtype)
+
+    # Mosaic only lowers fori_loop unroll=1 or full-unroll, and full unroll
+    # keeps every head's (bq, Ltot) f32 logit buffer live at once — a scoped
+    # VMEM stack OOM at H=20 (116 MB > 100 MB cap, measured). Partial ILP is
+    # expressed MANUALLY instead: loop over head GROUPS, each group's heads
+    # written out straight-line so the scheduler can pipeline head g+1's MXU
+    # score matmul against head g's VPU softmax, with only `group` logit
+    # buffers live.
+    group = unroll if unroll > 1 and H % unroll == 0 else 1
+
+    def head_group(g, _):
+        for ui in range(group):
+            head(g * group + ui)
         return 0
 
-    # Mosaic only lowers unroll=1 or unroll=num_steps for in-kernel loops;
-    # any unroll>1 request means FULL head unroll (lets the scheduler
-    # software-pipeline MXU score matmuls against VPU softmax across heads)
-    jax.lax.fori_loop(0, H, head, 0, unroll=H if unroll > 1 else False)
+    jax.lax.fori_loop(0, H // group, head_group, 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d",
-                     "exp_impl", "short_unroll"),
+                     "exp_impl", "short_unroll", "onepass_max"),
 )
 def flash_interpolated_attention(
     q: jnp.ndarray,  # (B, H, Sq, D)
@@ -343,7 +401,10 @@ def flash_interpolated_attention(
     block_k: int = 1024,
     interpret: bool = False,
     pad_d: bool = False,
-    short_unroll: int = 1,  # head-loop unroll factor in the short-KV kernel
+    short_unroll: int = 1,  # head-loop unroll factor in the one-pass kernel
+    onepass_max: int = 1024,  # max packed-stream length routed to the
+    # one-pass kernel (whole stream resident; larger calls use the online-
+    # softmax main kernel)
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -463,26 +524,34 @@ def flash_interpolated_attention(
     )
 
     Ltot = kv_k.shape[seq_ax]
-    if Ltot <= 1024:
-        # short-KV path (see _kernel_short): whole stream in one block,
-        # heads looped in-kernel. Covers cross-attention and IP branches in
-        # EVERY mode plus S<=1024 self-attention.
+    if Ltot <= onepass_max:
+        # one-pass path (see _kernel_onepass): whole stream in one block,
+        # heads looped in-kernel, grid over (B, head groups, q blocks).
+        # Covers cross-attention and IP branches in EVERY mode plus short
+        # self/fused calls up to the routed threshold.
+        #
+        # Head group: largest divisor of H whose resident KV footprint stays
+        # inside the proven envelope (20 heads x 1024 cols — the S=1024 H=20
+        # SDXL shape). Bigger Ltot => fewer heads per grid step, so VMEM
+        # stays bounded while the grid regains parallelism.
+        hgroup = next(g for g in range(H, 0, -1)
+                      if H % g == 0 and g * Ltot <= 20 * 1024)
         kernel_scale1 = float(scale) * (1.4426950408889634 if exp_impl == "exp2" else 1.0)
         k1 = functools.partial(
-            _kernel_short, mode=mode, scale=kernel_scale1,
+            _kernel_onepass, mode=mode, scale=kernel_scale1,
             n_self_cols=n_self * block_k, n_begin_cols=n_begin * block_k,
-            H=H, exp_impl=exp_impl, needs_mask=needs_mask,
+            H=hgroup, exp_impl=exp_impl, needs_mask=needs_mask,
             unroll=short_unroll,
         )
-        q_spec1 = pl.BlockSpec((1, H, block_q, Dp), lambda b, i, *_: (b, 0, i, 0))
-        kv_spec1 = pl.BlockSpec((1, H, Ltot, Dp), lambda b, i, *_: (b, 0, 0, 0))
+        q_spec1 = pl.BlockSpec((1, hgroup, block_q, Dp), lambda b, g, i, *_: (b, g, i, 0))
+        kv_spec1 = pl.BlockSpec((1, hgroup, Ltot, Dp), lambda b, g, i, *_: (b, g, 0, 0))
         if skip_endpoints is None or not mode.is_fused:
             skip1 = jnp.zeros((B,), jnp.int32)
         else:
             skip1 = skip_endpoints.astype(jnp.int32)
         grid_spec1 = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, Sqp // block_q),
+            grid=(B, H // hgroup, Sqp // block_q),
             in_specs=[q_spec1, kv_spec1, kv_spec1],
             out_specs=q_spec1,
         )
@@ -493,7 +562,7 @@ def flash_interpolated_attention(
             # — standalone compiles pass, full denoise programs don't);
             # v5e has 128 MB of VMEM, raise the cap like ops/conv.py does
             cp1 = pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
+                dimension_semantics=("parallel", "parallel", "parallel"),
                 vmem_limit_bytes=100 * 1024 * 1024,
             )
         except TypeError:

@@ -211,3 +211,63 @@ def test_over_budget_head_dim_fails_loudly():
     q, k, v, coef = _data(B, H, S, S, D, seed=3)
     with pytest.raises(ValueError, match="block budget"):
         flash_interpolated_attention(q, k, v, coef, "self", interpret=True)
+
+
+@pytest.mark.parametrize("mode,H,hgroup_expect", [
+    ("fused_outer", 20, 5),   # Ltot=3S: SDXL warmup S=1024 class (scaled down)
+    ("self", 10, 10),         # Ltot=S: SDXL S=4096 class (scaled down)
+    ("fused_outer", 10, 5),   # Ltot=3S at H=10
+])
+def test_onepass_head_grouped_routes(mode, H, hgroup_expect):
+    """The one-pass kernel with onepass_max large enough that the head-group
+    grid (B, H/hgroup, q_blocks) engages — the exact structure routed on TPU
+    for the SDXL hot shapes (scaled-down S keeps interpret mode fast; the
+    segment/set decomposition is identical)."""
+    B, S, D = 4, 512, 64
+    q, k, v, coef = _data(B, H, S, S, D, seed=11)
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(
+        q, k, v, coef, mode, interpret=True, onepass_max=16384,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_onepass_skip_endpoints_exactness():
+    """Skip rows in the one-pass kernel gate the endpoint segments with
+    scalar selects; results must equal vanilla attention exactly for the
+    endpoint frames and full fused-outer for interior frames."""
+    B, H, S, D = 4, 2, 256, 64
+    q, k, v, coef = _data(B, H, S, S, D, seed=13)
+    skip = jnp.zeros((B,), bool).at[0].set(True).at[B - 1].set(True)
+    got = flash_interpolated_attention(
+        q, k, v, coef, "fused_outer", skip_endpoints=skip,
+        interpret=True, onepass_max=16384,
+    )
+    want = interpolated_attention(q, k, v, coef, "fused_outer")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    # endpoint rows == plain attention bit-for-bit semantics (same math path)
+    from aid_tpu.ops.attention import attention
+    van = attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(van[0]), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[-1]), np.asarray(van[-1]), rtol=2e-5, atol=2e-5)
+
+
+def test_onepass_pure_outer_disjoint_stream_precision():
+    """pure_outer one-pass uses exact per-set segment maxima: a large logit
+    gap between the begin and end streams must not underflow the weaker set
+    (the old union-shared-max design lost the weaker stream past exp(-88))."""
+    B, H, S, D = 3, 1, 128, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    # begin endpoint logits pushed far above end's: scale begin K hugely
+    kb = k[0] * 40.0
+    ke = k[-1]
+    coef = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
+    want = interpolated_attention(q, k, v, coef, "pure_outer", k_begin=kb, v_begin=v[0],
+                                  k_end=ke, v_end=v[-1])
+    got = flash_interpolated_attention(q, k, v, coef, "pure_outer", k_begin=kb,
+                                       v_begin=v[0], k_end=ke, v_end=v[-1],
+                                       interpret=True, onepass_max=16384)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)

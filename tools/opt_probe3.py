@@ -222,7 +222,7 @@ def probe_sm():
     q, k, v, coef = _attn_inputs(B, 20, 1024, 1024, 64)
     flops = 4 * B * 20 * 1024 * 1024 * 64
     for impl in ("f32", "exp2", "bf16"):
-        for u in (1, 4):
+        for u in (1, 2, 4):
             bench(f"r3sm_short_self1024_{impl}_u{u}",
                   lambda c, impl=impl, u=u: flash_interpolated_attention(
                       c, k, v, coef, "self", exp_impl=impl, short_unroll=u
@@ -261,7 +261,74 @@ def probe_fwdconv(iters=20):
     layers._PALLAS_WIDE_CONV = True
 
 
+def probe_op():
+    """Segment-decomposed one-pass kernel vs the online-softmax main kernel
+    at the SDXL hot shapes: routing thresholds for onepass_max."""
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    cases = [
+        # (H, S, mode, mult) — Ltot = S * (1 + 2*is_outer_fused)
+        (20, 1024, "fused_outer", 3),   # Ltot 3072, hgroup 5
+        (10, 4096, "self", 1),          # Ltot 4096, hgroup 5
+        (10, 4096, "fused_outer", 3),   # Ltot 12288, hgroup 1
+    ]
+    for (h, s, mode, mult) in cases:
+        q, k, v, coef = _attn_inputs(B, h, s, s, 64)
+        flops = 4 * B * h * s * (s * mult) * 64
+        for u in (1, 2):
+            def f(c, k=k, v=v, coef=coef, mode=mode, u=u):
+                return flash_interpolated_attention(
+                    c, k, v, coef, mode, onepass_max=16384, short_unroll=u
+                ) * 1.0 + c * 0.0
+            try:
+                bench(f"r3op_{mode}{s}_h{h}_u{u}", f, q, flops)
+            except Exception as e:
+                print(json.dumps({"probe": f"r3op_{mode}{s}_h{h}_u{u}",
+                                  "error": repr(e)[:200]}), flush=True)
+
+
+def probe_diag():
+    """Locate the attention-kernel floor: raw VPU exp/mult throughput, bare
+    QK batched-matmul rate at the hot shapes, QK+PV without softmax."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (1024, 8192), jnp.float32)
+    n = x.size
+    bench("diag_mult_f32", lambda c: c * 1.0000001, x, n)
+    bench("diag_exp_f32", lambda c: jnp.exp(c) * 1e-9, x, n)
+    bench("diag_exp2_f32", lambda c: jax.lax.exp2(c) * 1e-9, x, n)
+    xb = x.astype(jnp.bfloat16)
+    bench("diag_exp_bf16", lambda c: jnp.exp(c) * jnp.bfloat16(1e-9), xb, n)
+    bench("diag_max_sub_exp_sum_f32",
+          lambda c: (lambda m: jnp.exp(c - m) + c * 1e-9)(
+              jnp.max(c, axis=-1, keepdims=True)), x, 4 * n)
+
+    # bare matmuls at the fused1024 shape (B7 H20 S1024 Ltot3072 D64)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (7, 20, 1024, 64), jnp.bfloat16)
+    kk = jax.random.normal(ks[1], (7, 20, 3072, 64), jnp.bfloat16)
+    vv = jax.random.normal(ks[2], (7, 20, 3072, 64), jnp.bfloat16)
+    qk_fl = 2 * 7 * 20 * 1024 * 3072 * 64
+    bench("diag_qk_b7h20_1024x3072",
+          lambda c: jnp.einsum("bhqd,bhkd->bhqk", c, kk,
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16)[..., :64] * 1e-4 + c,
+          q, qk_fl)
+    bench("diag_qk_pv_b7h20_1024x3072",
+          lambda c: jnp.einsum(
+              "bhqk,bhkd->bhqd",
+              jnp.einsum("bhqd,bhkd->bhqk", c, kk,
+                         preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+              vv, preferred_element_type=jnp.float32
+          ).astype(jnp.bfloat16) * 1e-4 + c,
+          q, 2 * qk_fl)
+    # full XLA attention (materialized logits) at the same shape
+    from aid_tpu.ops.attention import attention
+    bench("diag_xla_attn_b7h20_1024x3072",
+          lambda c: attention(c, kk, vv) * 1e-2 + c, q, 2 * qk_fl)
+
+
 PROBES = {
+    "op": probe_op,
+    "diag": probe_diag,
     "null": probe_null,
     "conv": probe_conv,
     "flash": probe_flash,
