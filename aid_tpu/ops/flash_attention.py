@@ -302,13 +302,15 @@ def _kernel_onepass(
             return jnp.exp((sm - m).astype(jnp.bfloat16))
         return exp_fn(sm - m)
 
-    def head(h):
+    def score(h):
         q = q_ref[0, h]
         k_h = k_ref[0, h]
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             q, k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+
+    def process(h, s):
         v_h = v_ref[0, h]
 
         stats = []  # per segment: (m, l, pv) at (bq,1)/(bq,1)/(bq,Dp) f32
@@ -363,18 +365,23 @@ def _kernel_onepass(
             out = outs[0]
         o_ref[0, h] = out.astype(o_ref.dtype)
 
-    # Mosaic only lowers fori_loop unroll=1 or full-unroll, and full unroll
-    # keeps every head's (bq, Ltot) f32 logit buffer live at once — a scoped
-    # VMEM stack OOM at H=20 (116 MB > 100 MB cap, measured). Partial ILP is
-    # expressed MANUALLY instead: loop over head GROUPS, each group's heads
-    # written out straight-line so the scheduler can pipeline head g+1's MXU
-    # score matmul against head g's VPU softmax, with only `group` logit
-    # buffers live.
+    # HOISTED head groups: within a group, every head's score matmul is
+    # issued before ANY head's softmax/PV in program order, giving Mosaic
+    # the chance to bundle head h+1's MXU QK tiles against head h's VPU
+    # softmax. Alternatives measured and rejected (tools/opt3_results.jsonl
+    # r3op_*): a fori_loop CARRY of the logit slab (2.80 ms at B7 H20
+    # 1024x3072 — Mosaic copies multi-MB carries every iteration), a static
+    # skewed score(h+1);process(h) pipeline (2.48 ms there, compile failure
+    # at H=20 — Mosaic keeps every slab live), and full head unroll (scoped
+    # VMEM stack OOM at H=20: 116 MB). Mosaic only lowers fori_loop
+    # unroll=1/full, so the grouping is expressed manually.
     group = unroll if unroll > 1 and H % unroll == 0 else 1
 
     def head_group(g, _):
-        for ui in range(group):
-            head(g * group + ui)
+        hs = [g * group + ui for ui in range(group)]
+        ss = [score(h) for h in hs]
+        for h, s in zip(hs, ss):
+            process(h, s)
         return 0
 
     jax.lax.fori_loop(0, H // group, head_group, 0)
@@ -402,9 +409,13 @@ def flash_interpolated_attention(
     interpret: bool = False,
     pad_d: bool = False,
     short_unroll: int = 1,  # head-loop unroll factor in the one-pass kernel
-    onepass_max: int = 1024,  # max packed-stream length routed to the
+    onepass_max: int = 3072,  # max packed-stream length routed to the
     # one-pass kernel (whole stream resident; larger calls use the online-
-    # softmax main kernel)
+    # softmax main kernel). 3072 routes the SDXL warmup fused_outer S=1024
+    # calls (Ltot=3S) to the one-pass kernel: measured 2.25 vs 2.375 ms on
+    # the main kernel (B7 H20, tools/opt3_results.jsonl r3op_* vs
+    # r3flash_*); at Ltot>=4096 the main kernel wins (5.10 vs 5.53 self,
+    # 15.3 vs 16.0 fused) so the threshold sits between.
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -614,6 +625,10 @@ def flash_interpolated_attention(
     try:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # big-block configs (up to 4096x4096 logit slabs, see the
+            # per-shape block table in dispatch) need more than the ~23 MB
+            # default scoped budget; v5e has 128 MB of VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         )
     except TypeError:  # older pallas without the field
         compiler_params = None

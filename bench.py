@@ -113,10 +113,12 @@ def main():
 
     frames_per_sec = FRAMES / min(times)
 
-    # secondary size-8 metric: XLA pads the batch to the 8-sublane tile, so
-    # the 8th frame is FREE (PERF.md "Batch alignment note") — users picking
-    # 8/16-frame sequences get ~1/7 more frames/s for zero extra work. The
-    # 7-frame number stays the headline for reference comparability.
+    # secondary size-8 metric. The round-2 "free 8th frame" note held for a
+    # single VANILLA forward (conv/GEMM batch dim pads 7->8 in XLA), but the
+    # full sequence is NOT free: the attention kernels grid over B and the
+    # VAE decodes per frame, so measured size-8 throughput is neutral
+    # (0.294 vs 0.301 frames/s, round 3) — reported for users picking
+    # sequence sizes, with the 7-frame number as the headline.
     sample8 = jnp.concatenate([sample, sample[:1]], axis=0)
     ehs8 = jnp.concatenate([ehs, ehs[:1]], axis=0)
     uncond8 = jnp.concatenate([uncond, uncond[:1]], axis=0)

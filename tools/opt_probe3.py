@@ -268,6 +268,7 @@ def probe_op():
 
     cases = [
         # (H, S, mode, mult) — Ltot = S * (1 + 2*is_outer_fused)
+        (20, 1024, "self", 1),          # Ltot 1024, hgroup 20 (60 calls/fwd)
         (20, 1024, "fused_outer", 3),   # Ltot 3072, hgroup 5
         (10, 4096, "self", 1),          # Ltot 4096, hgroup 5
         (10, 4096, "fused_outer", 3),   # Ltot 12288, hgroup 1
@@ -275,7 +276,7 @@ def probe_op():
     for (h, s, mode, mult) in cases:
         q, k, v, coef = _attn_inputs(B, h, s, s, 64)
         flops = 4 * B * h * s * (s * mult) * 64
-        for u in (1, 2):
+        for u in (-1,):  # -1 = static skewed pipeline (u1/u2 already logged)
             def f(c, k=k, v=v, coef=coef, mode=mode, u=u):
                 return flash_interpolated_attention(
                     c, k, v, coef, mode, onepass_max=16384, short_unroll=u
@@ -326,7 +327,68 @@ def probe_diag():
           lambda c: attention(c, kk, vv) * 1e-2 + c, q, 2 * qk_fl)
 
 
+def probe_blocks():
+    """Main-kernel q/kv block sweep at the 4096-token shapes: per-grid-step
+    fixed cost dominates there (3360 steps at fused@4096 with 1024/1024
+    blocks; bare QK+PV floor is ~7.7 ms vs 14.7 measured-real), so fewer,
+    bigger blocks should close most of the gap."""
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    cases = [
+        (10, 4096, "self", 1),
+        (10, 4096, "fused_outer", 3),
+    ]
+    sweeps = [(1024, 2048), (2048, 1024), (2048, 2048),
+              (1024, 4096), (4096, 1024), (2048, 4096), (4096, 4096)]
+    for (h, s, mode, mult) in cases:
+        q, k, v, coef = _attn_inputs(B, h, s, s, 64)
+        flops = 4 * B * h * s * (s * mult) * 64
+        for (bq, bk) in sweeps:
+            def f(c, k=k, v=v, coef=coef, mode=mode, bq=bq, bk=bk):
+                return flash_interpolated_attention(
+                    c, k, v, coef, mode, onepass_max=0,
+                    block_q=bq, block_k=bk,
+                ) * 1.0 + c * 0.0
+            name = f"r3blk_{mode}{s}_q{bq}k{bk}"
+            try:
+                bench(name, f, q, flops)
+            except Exception as e:
+                print(json.dumps({"probe": name, "error": repr(e)[:160]}),
+                      flush=True)
+
+
+def probe_gn():
+    """Isolate the resnet GN+SiLU prologue cost at the three UNet levels:
+    conv3x3 alone vs GN+SiLU+conv3x3 (XLA cannot fuse elementwise into its
+    conv library call, so the prologue pays its own HBM passes). Decides
+    whether a fused Pallas GN+SiLU(+conv) kernel is worth building."""
+    import flax.linen as nn
+    from aid_tpu.models.layers import Conv3x3
+
+    for (ch, hw) in ((320, 128), (640, 64), (1280, 32)):
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, hw, hw, ch), DT)
+        conv = Conv3x3(features=ch, dtype=DT)
+        pc = conv.init(jax.random.PRNGKey(1), x)
+
+        class Pro(nn.Module):
+            @nn.compact
+            def __call__(self, h):
+                h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=DT)(h)
+                h = nn.silu(h)
+                return Conv3x3(features=ch, dtype=DT)(h)
+
+        pro = Pro()
+        pp = pro.init(jax.random.PRNGKey(1), x)
+        fl = 2 * B * hw * hw * 9 * ch * ch
+        bench(f"r3gn_convonly_{ch}_{hw}",
+              lambda c: conv.apply(pc, c) * 0.01 + c * 0.5, x, fl)
+        bench(f"r3gn_gnsiluconv_{ch}_{hw}",
+              lambda c: pro.apply(pp, c) * 0.01 + c * 0.5, x, fl)
+
+
 PROBES = {
+    "gn": probe_gn,
+    "blocks": probe_blocks,
     "op": probe_op,
     "diag": probe_diag,
     "null": probe_null,
