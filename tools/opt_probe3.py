@@ -386,7 +386,65 @@ def probe_gn():
               lambda c: pro.apply(pp, c) * 0.01 + c * 0.5, x, fl)
 
 
+def probe_glue():
+    """Isolate non-forward per-step cost in the real engine loop: time
+    denoise_sequence at two step counts per phase (all-early / all-late)
+    and difference out the marginal step. Standalone forwards measure
+    541 (fused) + 347 (vanilla) ms but the headline implies ~832 ms/step
+    — locate the missing ~40 ms/step."""
+    import time as _t
+    from aid_tpu.models import UNet2DCondition, configs
+    from aid_tpu.models.layers import AidMode
+    from aid_tpu.pipelines import engine
+    from aid_tpu.schedulers.euler import EulerDiscreteScheduler
+    from aid_tpu.ops.interp import generate_beta_schedule
+
+    cfg = configs.SDXL_UNET
+    unet = UNet2DCondition(cfg, dtype=DT)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (B, 128, 128, cfg.in_channels), DT)
+    ehs = jax.random.normal(jax.random.PRNGKey(1), (B, 77, cfg.cross_attention_dim), DT)
+    added = {"text_embeds": jax.random.normal(jax.random.PRNGKey(2), (B, 1280), DT),
+             "time_ids": jnp.broadcast_to(jnp.array([1024.0]*2 + [0.0]*2 + [1024.0]*2), (B, 6))}
+    params = jax.eval_shape(
+        lambda r: unet.init(r, sample[:1], jnp.array(0), ehs[:1], None,
+                            {k: v[:1] for k, v in added.items()}), jax.random.PRNGKey(3))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, 0.01, DT if s.dtype == jnp.float32 else s.dtype), params)
+    scheduler = EulerDiscreteScheduler()
+    uncond = jax.random.normal(jax.random.PRNGKey(4), ehs.shape, DT)
+
+    def run(n, warm):
+        state = scheduler.init(n)
+        coef = jnp.asarray(generate_beta_schedule(B, n, n, force_endpoints=True))
+        out = engine.denoise_sequence(
+            unet, scheduler, params, sample * state.init_noise_sigma, ehs,
+            uncond, coef, state, jnp.float32(5.0),
+            early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+            num_steps=n, warmup_steps=warm, added_cond=added)
+        return float(jnp.sum(out.astype(jnp.float32)))
+
+    for phase, warm_of in (("early", lambda n: n), ("late", lambda n: 0)):
+        ts = {}
+        for n in (2, 6):
+            run(n, warm_of(n))  # compile
+            best = float("inf")
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                run(n, warm_of(n))
+                best = min(best, _t.perf_counter() - t0)
+            ts[n] = best
+        per_step = (ts[6] - ts[2]) / 4
+        print(json.dumps({"probe": f"r3glue_{phase}_per_step_ms",
+                          "ms": round(per_step * 1e3, 1),
+                          "t2_s": round(ts[2], 3), "t6_s": round(ts[6], 3)}),
+              flush=True)
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps({"probe": f"r3glue_{phase}_per_step_ms",
+                                "ms": round(per_step * 1e3, 1)}) + "\n")
+
+
 PROBES = {
+    "glue": probe_glue,
     "gn": probe_gn,
     "blocks": probe_blocks,
     "op": probe_op,
