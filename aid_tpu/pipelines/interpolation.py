@@ -306,6 +306,7 @@ class InterpolationPipeline:
         per_frame_decode: bool = False,
         num_run_steps: Optional[int] = None,  # denoising_end truncation
         callback_on_chunk_end=None,  # fn(pipe, step_index, latents) -> latents|None
+        callback_on_step_end=None,  # reference-style fn(pipe, i, t, kwargs)->dict
     ):
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
@@ -338,6 +339,24 @@ class InterpolationPipeline:
         )
         args = (self.unet, self.scheduler, self.unet_params)
         chunk = self.denoise_chunk_size
+        if callback_on_step_end is not None:
+            # Reference-signature adapter (pipeline_interpolated_sd.py:
+            # 1919-1928): ``fn(pipe, i, t, {"latents": ...}) -> dict`` at
+            # per-step granularity — forces chunk size 1 so every step is a
+            # chunk boundary. Tensor inputs beyond latents are not carried
+            # (the jitted loop keeps embeddings on-device between steps).
+            if callback_on_chunk_end is not None:
+                raise ValueError(
+                    "pass callback_on_step_end or callback_on_chunk_end, not both")
+            timesteps = sched_state.timesteps
+
+            def callback_on_chunk_end(pipe, step_end, latents,
+                                      _cb=callback_on_step_end):
+                out = _cb(pipe, step_end - 1, timesteps[step_end - 1],
+                          {"latents": latents})
+                return None if out is None else out.get("latents")
+
+            chunk = 1
         if chunk is None and callback_on_chunk_end is None:
             final = engine.denoise_sequence(
                 *args, latents, embs, uncond_embs, coef, sched_state,
@@ -384,6 +403,7 @@ class InterpolationPipeline:
         guidance_scale: Optional[float] = None,
         output_type: str = "np",
         callback_on_chunk_end=None,
+        callback_on_step_end=None,
     ):
         """Full-sequence batched interpolation — one device program.
 
@@ -414,6 +434,7 @@ class InterpolationPipeline:
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, output_type=output_type,
             callback_on_chunk_end=callback_on_chunk_end,
+            callback_on_step_end=callback_on_step_end,
         )
 
     def interpolate_single(
@@ -442,6 +463,7 @@ class InterpolationPipeline:
         seed: int = 0,
         output_type: str = "np",
         callback_on_chunk_end=None,
+        callback_on_step_end=None,
     ):
         """3-frame [source A, interpolated, source B] generation.
 
@@ -509,6 +531,7 @@ class InterpolationPipeline:
             ip_image_embeds=ip_cond, ip_uncond_image_embeds=ip_uncond,
             output_type=output_type,
             callback_on_chunk_end=callback_on_chunk_end,
+            callback_on_step_end=callback_on_step_end,
         )
 
     def interpolate_save_gpu(

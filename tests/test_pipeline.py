@@ -244,6 +244,40 @@ class TestInterrupt:
         )
         np.testing.assert_array_equal(np.asarray(out), 0.0)
 
+    def test_callback_on_step_end_reference_signature(self, pipe):
+        """Reference-style callback_on_step_end (sd:1919-1928): called once
+        per step with (pipe, i, t, {"latents"}), dict return overrides
+        latents, and it forces per-step granularity without
+        denoise_chunk_size."""
+        calls = []
+
+        def cb(p, i, t, kwargs):
+            calls.append((i, int(t)))
+            assert set(kwargs) == {"latents"}
+            return {"latents": kwargs["latents"]}
+
+        out = pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=STEPS,
+            callback_on_step_end=cb,
+        )
+        assert [i for i, _ in calls] == list(range(STEPS))
+        ts = [t for _, t in calls]
+        assert ts == sorted(ts, reverse=True)  # descending schedule
+        full = pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=STEPS)
+        np.testing.assert_allclose(out.astype(int), full.astype(int), atol=1)
+
+    def test_both_callbacks_rejected(self, pipe):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not both"):
+            pipe.interpolate_single(
+                0.5, prompt_start="a", prompt_end="b",
+                num_inference_steps=STEPS,
+                callback_on_chunk_end=lambda p, s, l: None,
+                callback_on_step_end=lambda p, i, t, kw: None,
+            )
+
 
 def test_call_num_images_per_prompt(pipe):
     """Reference __call__'s num_images_per_prompt (sd:1075): N independent
