@@ -140,6 +140,18 @@ class InterpolationPipeline:
         self.vae_tile_latent_size = None
         return self
 
+    def enable_bf16_vae_decode(self):
+        """Decode in bfloat16 (TPU-native option). The reference force-
+        upcasts the VAE to fp32 because fp16's 5-bit exponent overflows in
+        the decoder (diffusers ``force_upcast``; sdxl:2359-2369 upcast path);
+        bfloat16 shares float32's exponent range so the overflow rationale
+        does not apply on TPU — this trades mantissa bits that are invisible
+        at uint8 output for ~8% faster decode (tools/opt3_results.jsonl
+        r3vae_decode_f32 704 ms vs bf16 646 ms, 7-frame 1024px). The default
+        stays float32 for numerical parity with the reference."""
+        self.vae = self.vae.clone(dtype=jnp.bfloat16)
+        return self
+
     def _decode(self, latents: jnp.ndarray, per_frame: bool = False) -> np.ndarray:
         cfg = self.vae.config
         images = engine.decode_latents(

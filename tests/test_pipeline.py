@@ -279,6 +279,22 @@ class TestInterrupt:
             )
 
 
+def test_bf16_vae_decode_close_to_f32(pipe):
+    """enable_bf16_vae_decode trades invisible mantissa for decode speed:
+    uint8 output must stay within a few levels of the f32 decode."""
+    import dataclasses
+
+    lat = jnp.concatenate([pipe.generate_latent(0), pipe.generate_latent(1)])
+    ref = pipe._decode(lat)
+    p2 = dataclasses.replace(pipe)
+    p2.enable_bf16_vae_decode()
+    assert p2.vae.dtype == jnp.bfloat16
+    assert pipe.vae.dtype != jnp.bfloat16  # original pipeline untouched
+    out = p2._decode(lat)
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+    assert np.max(np.abs(out.astype(int) - ref.astype(int))) <= 4
+
+
 def test_call_num_images_per_prompt(pipe):
     """Reference __call__'s num_images_per_prompt (sd:1075): N independent
     samples per prompt, per-seed latents."""

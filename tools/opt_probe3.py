@@ -443,7 +443,45 @@ def probe_glue():
                                 "ms": round(per_step * 1e3, 1)}) + "\n")
 
 
+def probe_glue2(iters=10):
+    """Eliminate the +40 ms/step engine glue (r3glue_*): scan bodies that
+    add engine features one at a time over the bare two-forward CFG step.
+    A=static t, no scheduler; B=dynamic t gather; C=+Euler scale+step."""
+    from aid_tpu.models import configs
+    from aid_tpu.schedulers.euler import EulerDiscreteScheduler
+
+    unet, p, x, ehs, added = _unet_setup(B)
+    uncond = jax.random.normal(jax.random.PRNGKey(9), ehs.shape, DT)
+    scheduler = EulerDiscreteScheduler()
+    state = scheduler.init(28)
+    g = jnp.float32(5.0)
+
+    def cfg(lat, t):
+        nt = unet.apply(p, lat, t, ehs, None, added)
+        nu = unet.apply(p, lat, t, uncond, None, added)
+        return nu + g * (nt - nu)
+
+    def body_a(lat):
+        return (lat + 0.0 * cfg(lat, jnp.array(500))).astype(DT)
+
+    def body_b(lat):
+        # dynamic timestep via a traced index derived from the carry
+        i = (jnp.sum(lat[0, 0, 0]).astype(jnp.int32) % 28).clip(0, 27)
+        return (lat + 0.0 * cfg(lat, state.timesteps[i])).astype(DT)
+
+    def body_c(lat):
+        i = (jnp.sum(lat[0, 0, 0]).astype(jnp.int32) % 28).clip(0, 27)
+        noise = cfg(scheduler.scale_model_input(state, lat, i), state.timesteps[i])
+        new, _ = scheduler.step(state, noise, i, lat)
+        return (new * 0.999).astype(DT)
+
+    for name, body in (("a_static_t", body_a), ("b_dyn_t", body_b),
+                       ("c_full_sched", body_c)):
+        bench(f"r3glue2_{name}", body, x, 0.0, iters=iters)
+
+
 PROBES = {
+    "glue2": probe_glue2,
     "glue": probe_glue,
     "gn": probe_gn,
     "blocks": probe_blocks,
