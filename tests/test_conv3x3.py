@@ -65,7 +65,9 @@ class TestPallasConv:
     """ops/conv.py shift-accumulate kernel vs lax.conv (interpret mode)."""
 
     @pytest.mark.parametrize(
-        "shape", [(2, 16, 128, 320, 320), (1, 8, 64, 640, 640),
+        "shape", [(2, 16, 128, 320, 320),
+                  # the 640x640 case interprets ~13 s on CPU: slow tier only
+                  pytest.param((1, 8, 64, 640, 640), marks=pytest.mark.slow),
                   (2, 16, 24, 12, 20), (1, 8, 128, 640, 320),
                   (1, 8, 128, 960, 320)])  # SDXL up-block concat class
     def test_matches_lax_conv(self, shape):

@@ -94,6 +94,7 @@ class TestUNet:
 
 
 class TestVAE:
+    @pytest.mark.slow  # init+encode+decode = 3 compiles, ~21 s on CPU
     def test_roundtrip_shapes(self, rngs):
         cfg = configs.TINY_VAE
         model = AutoencoderKL(cfg)
@@ -131,6 +132,7 @@ class TestCLIP:
 
 
 class TestFreeU:
+    @pytest.mark.slow  # 4 full-UNet compiles, ~22 s on CPU
     def test_freeu_changes_output(self, rngs):
         from aid_tpu.models.freeu import FreeUConfig
 
