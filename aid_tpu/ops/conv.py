@@ -43,13 +43,39 @@ def _kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, TH: int, W: int):
     o_ref[0] = out.reshape(TH, W, -1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _kernel_packed(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, TH: int, W: int):
+    """Packed-K variant: per dy, concatenate the three dx column-shifts along
+    the channel (lane) dim in VMEM and issue ONE (TH*W, 3*Cin) @ (3*Cin, Cout)
+    dot. vs the 9-dot kernel: K=3*Cin pads to one lane-tile boundary instead
+    of three (e.g. Cin=320: 960->1024 = 8 tiles vs 3x384 = 9), and the MXU
+    sees 3 long-K dots per block instead of 9 short ones (less pipeline
+    drain). The concat is an in-VMEM copy of the x block (3x per dy)."""
+    rows_by_dy = (x0_ref, x1_ref, x2_ref)
+    cin = x0_ref.shape[-1]
+    acc = None
+    for dy in range(3):
+        rows = rows_by_dy[dy][0]  # (TH, W+2, Cin)
+        xs = jnp.concatenate(
+            [rows[:, dx:dx + W, :] for dx in range(3)], axis=-1
+        ).reshape(TH * W, 3 * cin)
+        t = jax.lax.dot_general(
+            xs, w_ref[dy], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
+    out = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = out.reshape(TH, W, -1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret", "packed"))
 def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                 block_rows: int = 8, interpret: bool = False) -> jnp.ndarray:
+                 block_rows: int = 8, interpret: bool = False,
+                 packed: bool = False) -> jnp.ndarray:
     """y = conv2d(x, w, stride 1, SAME) + b.
 
     x: (B, H, W, Cin); w: (3, 3, Cin, Cout) HWIO; b: (Cout,).
     H must be a multiple of ``block_rows``. Accumulates f32, returns x.dtype.
+    ``packed`` selects the packed-K kernel (one K=3*Cin dot per dy).
     """
     B, H, W, Cin = x.shape
     Cout = w.shape[-1]
@@ -66,6 +92,30 @@ def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     b2 = b.reshape(1, Cout).astype(jnp.float32)
 
     strip_spec = pl.BlockSpec((1, TH, W + 2, Cin), lambda bb, i: (bb, i, 0, 0))
+    if packed:
+        # (3, 3*Cin, Cout): w_packed[dy] = [w[dy,0]; w[dy,1]; w[dy,2]] rows
+        wp = w.reshape(3, 3 * Cin, Cout)
+        kernel = functools.partial(_kernel_packed, TH=TH, W=W)
+        try:
+            cp = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            )
+        except TypeError:
+            cp = None
+        return pl.pallas_call(
+            kernel,
+            grid=(B, H // TH),
+            in_specs=[
+                strip_spec, strip_spec, strip_spec,
+                pl.BlockSpec((3, 3 * Cin, Cout), lambda bb, i: (0, 0, 0)),
+                pl.BlockSpec((1, Cout), lambda bb, i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, TH, W, Cout), lambda bb, i: (bb, i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+            compiler_params=cp,
+            interpret=interpret,
+        )(views[0], views[1], views[2], wp, b2)
     kernel = functools.partial(_kernel, TH=TH, W=W)
     try:
         # the default 16 MB scoped-vmem budget rejects resident (3,3,Cin,

@@ -85,6 +85,25 @@ class TestPallasConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=2e-4)
 
+    @pytest.mark.parametrize(
+        "shape", [(2, 16, 128, 320, 320),   # level-0 class (the packed target)
+                  (2, 16, 24, 12, 20), (1, 8, 128, 640, 320)])
+    def test_packed_matches_lax_conv(self, shape):
+        """Packed-K variant (one K=3*Cin dot per dy) == lax.conv."""
+        from aid_tpu.ops.conv import conv3x3_same
+
+        B, H, W, Cin, Cout = shape
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, Cin, Cout) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.randn(Cout), jnp.float32)
+        want = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = conv3x3_same(x, w, b, interpret=True, packed=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=2e-4)
+
     def test_bf16_matches_lax_conv_bf16(self):
         from aid_tpu.ops.conv import conv3x3_same
 

@@ -211,6 +211,44 @@ def probe_conv():
                   x, flops)
 
 
+def probe_convpk():
+    """Packed-K Pallas conv (one K=3*Cin dot per dy) vs the current routed
+    lowering and the 9-dot kernel, on every UNet conv class."""
+    from aid_tpu.ops.conv import conv3x3_same
+
+    rng = jax.random.PRNGKey(0)
+    for (ch, hw) in [(320, 128), (640, 64), (1280, 32), (640, 128)]:
+        x = jax.random.normal(rng, (B, hw, hw, ch), DT)
+        w = (jax.random.normal(rng, (3, 3, ch, ch), jnp.float32) * 0.02).astype(DT)
+        b = jnp.zeros((ch,), DT)
+        flops = 2 * B * hw * hw * 9 * ch * ch
+
+        def guard(name, fn, xx, fl):
+            try:
+                bench(name, fn, xx, fl, iters=30)
+            except Exception as e:
+                print(json.dumps({"probe": name, "error": repr(e)[:160]}), flush=True)
+
+        if ch <= 384:
+            def im2col(c, w=w, b=b, hw=hw, ch=ch):
+                xp = jnp.pad(c, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                cols = jnp.concatenate([
+                    xp[:, dy:dy + hw, dx:dx + hw, :]
+                    for dy in range(3) for dx in range(3)], axis=-1)
+                return jnp.einsum("bhwk,ko->bhwo", cols, w.reshape(9 * ch, -1)) + b
+            guard(f"r3pk_im2col_{ch}_{hw}", im2col, x, flops)
+        for th in (8, 16):
+            if th > hw:
+                continue
+            guard(f"r3pk_packed_{ch}_{hw}_th{th}",
+                  lambda c, w=w, b=b, th=th: conv3x3_same(
+                      c, w, b, block_rows=th, packed=True) * 1.0 + c * 0.0,
+                  x, flops)
+        guard(f"r3pk_9dot_{ch}_{hw}_th8",
+              lambda c, w=w, b=b: conv3x3_same(c, w, b, block_rows=8) * 1.0 + c * 0.0,
+              x, flops)
+
+
 def probe_sm():
     """Softmax-economy variants: exp_impl x short_unroll at the SDXL hot
     shapes. The short-KV kernel (S=1024 self) is softmax-VPU-bound at
@@ -489,6 +527,7 @@ PROBES = {
     "diag": probe_diag,
     "null": probe_null,
     "conv": probe_conv,
+    "convpk": probe_convpk,
     "flash": probe_flash,
     "cross": probe_cross,
     "fwd": probe_fwd,
