@@ -164,6 +164,35 @@ def conv_lowering(hw: int, cin: int) -> str:
 # be flipped by probe harnesses for A/B on a full forward.
 _PALLAS_WIDE_CONV = True
 
+# Routing flag for the fused GN+SiLU+packed-conv resnet prologue
+# (ops.conv.conv3x3_gnsilu). Default OFF until measured on hardware
+# (tools/opt_probe3.py gnpk); flipped per-class in gn_conv_fused.
+_FUSED_GN_CONV = False
+
+
+def gn_conv_fused(hw: int, cin: int) -> bool:
+    """Classes where the resnet GN+SiLU prologue fuses into the packed-K
+    Pallas conv (skipping the separate normalize+act HBM round trip,
+    0.40/0.23 ms per call at ch320/ch640 — PERF.md r3gn_*)."""
+    if not _FUSED_GN_CONV:
+        return False
+    return hw >= 1024 and cin >= 320
+
+
+class _GNAffine(nn.Module):
+    """Parameter container matching nn.GroupNorm's tree (scale, bias) for
+    the fused GN+conv path: declares the same params without computing the
+    normalization (the fused kernel consumes them directly), so checkpoints
+    convert identically whichever branch ResnetBlock2D takes."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return scale, bias
+
 
 class Conv3x3(nn.Module):
     """3x3 same-padding conv; per-shape-class lowering (see conv_lowering).
@@ -179,7 +208,7 @@ class Conv3x3(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, prologue=None):
         cin = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -188,6 +217,23 @@ class Conv3x3(nn.Module):
         w = kernel.astype(self.dtype)
         b = bias.astype(self.dtype)
         _, H, W, _ = x.shape
+        if prologue is not None:
+            # fused GroupNorm+SiLU prologue (gamma, beta, groups): on TPU the
+            # packed-K kernel applies it in VMEM; elsewhere apply it inline
+            # (same one-pass-variance formula flax GroupNorm uses) and fall
+            # through to the normal lowering dispatch.
+            gamma, beta, groups = prologue
+            if jax.default_backend() == "tpu" and H % 8 == 0:
+                from aid_tpu.ops.conv import conv3x3_gnsilu
+                return conv3x3_gnsilu(x, kernel, bias, gamma, beta,
+                                      num_groups=groups, block_rows=8)
+            xf = x.astype(jnp.float32)
+            g = xf.reshape(x.shape[:-1] + (groups, cin // groups))
+            mean = g.mean(axis=(1, 2, 4), keepdims=True)
+            var = jnp.square(g).mean(axis=(1, 2, 4), keepdims=True) - jnp.square(mean)
+            g = (g - mean) * jax.lax.rsqrt(var + 1e-5)
+            xf = g.reshape(x.shape) * gamma + beta
+            x = nn.silu(xf).astype(self.dtype)
         impl = conv_lowering(H * W, cin)
         if impl == "shift9":
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -227,17 +273,28 @@ class ResnetBlock2D(nn.Module):
     norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
+    def _gn_silu_conv(self, h, norm_name, conv_name):
+        """norm -> SiLU -> 3x3 conv, fused into one Pallas kernel on the
+        measured classes (gn_conv_fused); the unfused branch is byte-
+        identical to the original module chain. Both branches declare the
+        same param tree (norm/scale, norm/bias via _GNAffine)."""
+        _, H, W, cin = h.shape
+        if gn_conv_fused(H * W, cin) and cin % self.norm_num_groups == 0:
+            gamma, beta = _GNAffine(cin, name=norm_name)()
+            return Conv3x3(self.out_channels, dtype=self.dtype, name=conv_name)(
+                h, prologue=(gamma, beta, self.norm_num_groups))
+        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, name=norm_name)(h)
+        h = nn.silu(h)
+        return Conv3x3(self.out_channels, dtype=self.dtype, name=conv_name)(h)
+
     @nn.compact
     def __call__(self, x, temb):
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        h = self._gn_silu_conv(x, "norm1", "conv1")
         temb = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + temb[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        h = self._gn_silu_conv(h, "norm2", "conv2")
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
         return x + h

@@ -67,6 +67,50 @@ def _kernel_packed(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, TH: int, W: i
     o_ref[0] = out.reshape(TH, W, -1).astype(o_ref.dtype)
 
 
+def _kernel_packed_gnsilu(x0_ref, x1_ref, x2_ref, w_ref, b_ref, sc_ref, sh_ref,
+                          o_ref, *, TH: int, W: int, H: int):
+    """Packed-K kernel with a fused GroupNorm+SiLU prologue.
+
+    The caller passes the RAW resnet input (zero-padded) plus per-(batch,
+    channel) affine factors sc/sh folding the GN statistics and gamma/beta
+    (scale = gamma * rsqrt(var+eps), shift = beta - mean*scale); the kernel
+    applies ``silu(x*sc + sh)`` in VMEM before the shift-pack-dot. This
+    skips the separate normalize+SiLU HBM round trip XLA pays because it
+    cannot fuse elementwise work into its conv library call (PERF.md r3gn_*:
+    0.40/0.23/0.06 ms per call at ch320/640/1280).
+
+    SAME-padding correctness: conv pads AFTER norm+act, so pad positions
+    must stay zero *after* the prologue (silu(shift) != 0). Each dy view's
+    block row j is padded-tensor row i*TH + dy + j; rows 0 and H+1 and
+    columns 0 and W+1 of the padded tensor are re-zeroed via iota masks.
+    """
+    rows_by_dy = (x0_ref, x1_ref, x2_ref)
+    cin = x0_ref.shape[-1]
+    i = pl.program_id(1)
+    sc = sc_ref[0].astype(jnp.float32)  # (1, Cin)
+    sh = sh_ref[0].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TH, W + 2, 1), 1)
+    col_ok = (col >= 1) & (col <= W)
+    acc = None
+    for dy in range(3):
+        raw = rows_by_dy[dy][0]  # (TH, W+2, Cin)
+        a = raw.astype(jnp.float32) * sc[None] + sh[None]
+        a = a * jax.nn.sigmoid(a)
+        row = jax.lax.broadcasted_iota(jnp.int32, (TH, W + 2, 1), 0) + i * TH + dy
+        ok = col_ok & (row >= 1) & (row <= H)
+        rows = jnp.where(ok, a, 0.0).astype(raw.dtype)
+        xs = jnp.concatenate(
+            [rows[:, dx:dx + W, :] for dx in range(3)], axis=-1
+        ).reshape(TH * W, 3 * cin)
+        t = jax.lax.dot_general(
+            xs, w_ref[dy], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = t if acc is None else acc + t
+    out = acc + b_ref[0].astype(jnp.float32)
+    o_ref[0] = out.reshape(TH, W, -1).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret", "packed"))
 def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                  block_rows: int = 8, interpret: bool = False,
@@ -117,6 +161,72 @@ def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             interpret=interpret,
         )(views[0], views[1], views[2], wp, b2)
     kernel = functools.partial(_kernel, TH=TH, W=W)
+    return _call_9dot(kernel, views, w, b2, B, H, W, TH, Cin, Cout, x.dtype,
+                      interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "block_rows",
+                                              "interpret"))
+def conv3x3_gnsilu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                   gamma: jnp.ndarray, beta: jnp.ndarray,
+                   num_groups: int = 32, eps: float = 1e-5,
+                   block_rows: int = 8, interpret: bool = False) -> jnp.ndarray:
+    """y = conv2d(silu(group_norm(x, gamma, beta)), w, SAME) + b, with the
+    normalize+SiLU applied inside the packed-K conv kernel (no intermediate
+    HBM tensor). GN statistics are a cheap XLA reduction; the per-(B,C)
+    scale/shift fold gamma/beta with them. Replaces the reference resnet
+    prologue (diffusers ResnetBlock2D norm1/act/conv1, norm2/act/conv2).
+    """
+    B, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, Cin), w.shape
+    assert H % block_rows == 0, (H, block_rows)
+    assert Cin % num_groups == 0, (Cin, num_groups)
+    TH = block_rows
+
+    xf = x.astype(jnp.float32).reshape(B, H * W, num_groups, Cin // num_groups)
+    mean = xf.mean(axis=(1, 3))                        # (B, G)
+    var = jnp.square(xf).mean(axis=(1, 3)) - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    gpc = jnp.repeat(jnp.arange(num_groups), Cin // num_groups)
+    scale = gamma.astype(jnp.float32)[None] * rstd[:, gpc]          # (B, Cin)
+    shift = beta.astype(jnp.float32)[None] - mean[:, gpc] * scale
+    scale = scale[:, None, :]                                       # (B,1,Cin)
+    shift = shift[:, None, :]
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    views = [jax.lax.slice_in_dim(xp, dy, dy + H, axis=1) for dy in range(3)]
+    wp = w.astype(x.dtype).reshape(3, 3 * Cin, Cout)
+    b2 = b.reshape(1, Cout).astype(jnp.float32)
+
+    strip_spec = pl.BlockSpec((1, TH, W + 2, Cin), lambda bb, i: (bb, i, 0, 0))
+    aff_spec = pl.BlockSpec((1, 1, Cin), lambda bb, i: (bb, 0, 0))
+    kernel = functools.partial(_kernel_packed_gnsilu, TH=TH, W=W, H=H)
+    try:
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
+    except TypeError:
+        cp = None
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // TH),
+        in_specs=[
+            strip_spec, strip_spec, strip_spec,
+            pl.BlockSpec((3, 3 * Cin, Cout), lambda bb, i: (0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda bb, i: (0, 0)),
+            aff_spec, aff_spec,
+        ],
+        out_specs=pl.BlockSpec((1, TH, W, Cout), lambda bb, i: (bb, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        compiler_params=cp,
+        interpret=interpret,
+    )(views[0], views[1], views[2], wp, b2, scale, shift)
+
+
+def _call_9dot(kernel, views, w, b2, B, H, W, TH, Cin, Cout, dtype, interpret):
+    strip_spec = pl.BlockSpec((1, TH, W + 2, Cin), lambda bb, i: (bb, i, 0, 0))
     try:
         # the default 16 MB scoped-vmem budget rejects resident (3,3,Cin,
         # Cout) weights at Cin>=512; v5e has 128 MB of VMEM — raise the cap
@@ -135,7 +245,7 @@ def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec((1, Cout), lambda bb, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, TH, W, Cout), lambda bb, i: (bb, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, Cout), dtype),
         compiler_params=cp,
         interpret=interpret,
     )(views[0], views[1], views[2], w, b2)

@@ -104,6 +104,47 @@ class TestPallasConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=2e-4)
 
+    def test_gnsilu_fused_matches_flax_chain(self):
+        """conv3x3_gnsilu == nn.GroupNorm -> silu -> lax.conv (interpret)."""
+        from aid_tpu.ops.conv import conv3x3_gnsilu
+
+        B, H, W, C, Cout = 2, 16, 24, 32, 20
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, C, Cout) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.randn(Cout), jnp.float32)
+        gamma = jnp.asarray(1 + 0.1 * rng.randn(C), jnp.float32)
+        beta = jnp.asarray(0.1 * rng.randn(C), jnp.float32)
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5).apply(
+            {"params": {"scale": gamma, "bias": beta}}, x)
+        want = jax.lax.conv_general_dilated(
+            nn.silu(h), w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = conv3x3_gnsilu(x, w, b, gamma, beta, num_groups=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_resnet_fused_branch_matches_unfused(self, monkeypatch):
+        """ResnetBlock2D with the fused GN+conv routing on == off (same
+        params, same outputs on CPU where the inline-prologue fallback
+        runs), and the param trees are identical."""
+        from aid_tpu.models import layers
+
+        x = jnp.asarray(np.random.RandomState(2).randn(2, 32, 32, 320) * 0.1,
+                        jnp.float32)
+        temb = jnp.asarray(np.random.RandomState(3).randn(2, 64), jnp.float32)
+        block = layers.ResnetBlock2D(out_channels=320)
+        p = block.init(jax.random.PRNGKey(0), x, temb)
+        out_off = block.apply(p, x, temb)
+        monkeypatch.setattr(layers, "_FUSED_GN_CONV", True)
+        assert layers.gn_conv_fused(32 * 32, 320)
+        p_fused = block.init(jax.random.PRNGKey(0), x, temb)
+        assert jax.tree_util.tree_map(lambda a: a.shape, p) == \
+            jax.tree_util.tree_map(lambda a: a.shape, p_fused)
+        out_on = block.apply(p, x, temb)
+        np.testing.assert_allclose(np.asarray(out_off), np.asarray(out_on),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_bf16_matches_lax_conv_bf16(self):
         from aid_tpu.ops.conv import conv3x3_same
 
