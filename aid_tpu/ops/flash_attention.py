@@ -28,6 +28,18 @@ vs the jnp reference (ops.attention): fused-outer self-attention at SD1.5
 traffic per layer); here scores never leave VMEM. Numerics: f32 scores on
 the MXU, f32 online softmax, probabilities cast to the input dtype for the
 PV matmul, f32 accumulators.
+
+MXU-resident normalizer (``mxu_den``, default on): this kernel family is
+VPU-softmax-bound, not MXU-bound (PERF.md round-3 campaign). A ones-column
+written into V at lane ``den_col`` makes the PV product carry ``sum(p)`` as
+one extra output lane — at D=64 the dot already pads its N dimension to the
+128-lane MXU tile, so the normalizer is literally free MXU work — and the
+rowsum lane-reduction (a full VPU pass over every (bq, bk) probability
+block) plus the separate ``l`` accumulator/rescale disappear; the acc
+rescale covers the merged lane. Auto-disabled at D % 128 == 0 (VAE D=512:
+no free lane without a whole extra tile). den = sum of the same
+dtype-cast p the PV matmul consumes, which makes num/den dtype-consistent
+(the legacy path summed f32 p against a bf16-p numerator).
 """
 
 from __future__ import annotations
@@ -75,11 +87,15 @@ def _kernel(
     n_steps: int,
     needs_mask: bool,
     exp_impl: str,
+    den_col: int,  # -1 = VPU rowsum + l scratch; else the softmax
+    # normalizer rides MXU lane `den_col` of the widened PV product (see
+    # module docstring "MXU-resident normalizer")
 ):
     j = pl.program_id(3)
     b = pl.program_id(0)
     bq, Dp = q_ref.shape[2], q_ref.shape[3]
     two_sets = mode.is_outer
+    mxu_den = den_col >= 0
 
     def read(ref):
         return ref[0, 0]
@@ -87,7 +103,8 @@ def _kernel(
     @pl.when(j == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
+        if not mxu_den:
+            l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     q = read(q_ref)
@@ -120,6 +137,17 @@ def _kernel(
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
             s = jnp.where(col + base < valid, s, NEG_INF)
         v_blk = read(v_ref)
+        if mxu_den:
+            # MXU-resident normalizer: a ones-column at lane den_col makes
+            # the PV product carry sum(p) along as one extra (already-padded
+            # or within-tile) output lane — the VPU rowsum reduction and the
+            # separate l accumulator disappear; the acc rescale covers both.
+            if den_col == v_blk.shape[-1]:
+                v_blk = jnp.pad(v_blk, ((0, 0), (0, 1)), constant_values=1)
+            else:
+                lane = jax.lax.broadcasted_iota(jnp.int32, v_blk.shape, 1)
+                v_blk = jnp.where(lane == den_col,
+                                  jnp.ones((), v_blk.dtype), v_blk)
 
         # With exp_impl="exp2" the scale folds in log2(e) (see caller), so
         # 2^(s-m) == e^(s'-m') exactly — same softmax, cheaper VPU op.
@@ -130,10 +158,11 @@ def _kernel(
                 # probabilities are cast to bf16 for the PV matmul anyway;
                 # computing exp directly in bf16 packs 2 lanes per VPU op
                 p = jnp.exp((s - m_new).astype(jnp.bfloat16))
-                rowsum = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                rowsum = (None if mxu_den else
+                          jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32))
             else:
                 p = exp_fn(s - m_new)
-                rowsum = jnp.sum(p, axis=-1, keepdims=True)
+                rowsum = None if mxu_den else jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
                 p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -158,7 +187,8 @@ def _kernel(
             rowsum, pv = probs(m_new)
             m_ref[0] = jnp.broadcast_to(m_new, (bq, LANES))
             if not two_sets:
-                l_ref[0] = l_ref[0] * alpha + rowsum
+                if not mxu_den:
+                    l_ref[0] = l_ref[0] * alpha + rowsum
                 acc_ref[0] = acc_ref[0] * alpha + pv
             else:
                 upd0 = jnp.logical_or(in_self, in_begin)
@@ -169,8 +199,9 @@ def _kernel(
                 # l/acc contribution lands only in the set(s) this phase feeds
                 w0 = jnp.where(upd0, 1.0, 0.0).astype(jnp.float32)
                 w1 = jnp.where(upd1, 1.0, 0.0).astype(jnp.float32)
-                l_ref[0] = l_ref[0] * alpha + w0 * rowsum
-                l_ref[1] = l_ref[1] * alpha + w1 * rowsum
+                if not mxu_den:
+                    l_ref[0] = l_ref[0] * alpha + w0 * rowsum
+                    l_ref[1] = l_ref[1] * alpha + w1 * rowsum
                 acc_ref[0] = acc_ref[0] * alpha + w0 * pv
                 acc_ref[1] = acc_ref[1] * alpha + w1 * pv
         else:
@@ -183,7 +214,8 @@ def _kernel(
                 alpha = exp_fn(m_old - m_new)
                 rowsum, pv = probs(m_new)
                 m_ref[i] = jnp.broadcast_to(m_new, (bq, LANES))
-                l_ref[i] = l_ref[i] * alpha + rowsum
+                if not mxu_den:
+                    l_ref[i] = l_ref[i] * alpha + rowsum
                 acc_ref[i] = acc_ref[i] * alpha + pv
 
             @pl.when(in_begin)
@@ -201,11 +233,16 @@ def _kernel(
     def _finalize():
         # the guard keeps an (astronomically unlikely) fully-underflowed
         # set at 0 instead of 0/0 = NaN
-        out0 = acc_ref[0] / jnp.maximum(l_ref[0, :, :1], 1e-37)
+        def norm(i):
+            if mxu_den:
+                den = acc_ref[i, :, den_col:den_col + 1]
+                return acc_ref[i, :, :Dp] / jnp.maximum(den, 1e-37)
+            return acc_ref[i] / jnp.maximum(l_ref[i, :, :1], 1e-37)
+
+        out0 = norm(0)
         if two_sets:
             c = coef_ref[b]
-            out1 = acc_ref[1] / jnp.maximum(l_ref[1, :, :1], 1e-37)
-            out = (1.0 - c) * out0 + c * out1
+            out = (1.0 - c) * out0 + c * norm(1)
         else:
             out = out0
         o_ref[0, 0] = out.astype(o_ref.dtype)
@@ -228,6 +265,7 @@ def _kernel_onepass(
     exp_impl: str,
     needs_mask: bool,
     unroll: int,
+    den_col: int,  # -1 = VPU rowsum; else MXU-resident normalizer lane
 ):
     """One-pass kernel: whole packed stream resident, heads looped in-kernel.
 
@@ -312,8 +350,17 @@ def _kernel_onepass(
 
     def process(h, s):
         v_h = v_ref[0, h]
+        if den_col == Dp:
+            # MXU-resident normalizer (see _kernel): widen V by a ones
+            # column inside the lane tile the PV dot already pads to
+            v_h = jnp.pad(v_h, ((0, 0), (0, 1)), constant_values=1)
+        elif den_col >= 0:
+            lane = jax.lax.broadcasted_iota(jnp.int32, v_h.shape, 1)
+            v_h = jnp.where(lane == den_col, jnp.ones((), v_h.dtype), v_h)
+        vw = v_h.shape[-1]
 
-        stats = []  # per segment: (m, l, pv) at (bq,1)/(bq,1)/(bq,Dp) f32
+        stats = []  # per segment: (m, l|None, pv) — with den_col>=0 the
+        # normalizer rides pv lane den_col instead of a separate l
         for (start, width, slot) in segments:
             s_seg = jax.lax.slice(s, (0, start), (bq, start + width))
             if needs_mask:
@@ -321,10 +368,11 @@ def _kernel_onepass(
                 s_seg = jnp.where(col + start < lens_ref[slot], s_seg, NEG_INF)
             m_seg = jnp.max(s_seg, axis=-1, keepdims=True)
             p_seg = exp_rows(s_seg, m_seg)
-            l_seg = jnp.sum(p_seg, axis=-1, keepdims=True, dtype=jnp.float32)
+            l_seg = (None if den_col >= 0 else
+                     jnp.sum(p_seg, axis=-1, keepdims=True, dtype=jnp.float32))
             pv_seg = jax.lax.dot_general(
                 p_seg.astype(v_h.dtype),
-                jax.lax.slice(v_h, (start, 0), (start + width, Dp)),
+                jax.lax.slice(v_h, (start, 0), (start + width, vw)),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -347,15 +395,19 @@ def _kernel_onepass(
                 m_set = m_all if m_live is None else jnp.where(skip, m_live, m_all)
             else:
                 m_set = m_live
-            num = jnp.zeros((bq, Dp), jnp.float32)
-            den = jnp.zeros((bq, 1), jnp.float32)
+            num = jnp.zeros((bq, vw), jnp.float32)
+            den = None if den_col >= 0 else jnp.zeros((bq, 1), jnp.float32)
             for i in members:
                 m_seg, l_seg, pv_seg = stats[i]
                 w = exp_fn(m_seg - m_set) if exp_impl != "bf16" else jnp.exp(m_seg - m_set)
                 if i in skippable:
                     w = jnp.where(skip, 0.0, w)
                 num = num + pv_seg * w
-                den = den + l_seg * w
+                if den is not None:
+                    den = den + l_seg * w
+            if den is None:
+                den = num[:, den_col:den_col + 1]
+                num = num[:, :Dp]
             outs.append(num / jnp.maximum(den, 1e-37))
 
         if mode.is_outer:
@@ -390,7 +442,7 @@ def _kernel_onepass(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d",
-                     "exp_impl", "short_unroll", "onepass_max"),
+                     "exp_impl", "short_unroll", "onepass_max", "mxu_den"),
 )
 def flash_interpolated_attention(
     q: jnp.ndarray,  # (B, H, Sq, D)
@@ -416,6 +468,9 @@ def flash_interpolated_attention(
     # the main kernel (B7 H20, tools/opt3_results.jsonl r3op_* vs
     # r3flash_*); at Ltot>=4096 the main kernel wins (5.10 vs 5.53 self,
     # 15.3 vs 16.0 fused) so the threshold sits between.
+    mxu_den: bool = True,  # ride the softmax normalizer on an MXU output
+    # lane (ones-column in V) instead of a VPU rowsum reduction; auto-
+    # disabled when D % 128 == 0 (no free lane without a whole extra tile)
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -534,6 +589,16 @@ def flash_interpolated_attention(
         (mode.is_outer or mode.is_inner) and Lep != Le
     )
 
+    # MXU-resident softmax normalizer lane (see kernel docstrings): the
+    # ones-column goes in an existing zero pad lane (Dp > D), or widens V by
+    # one lane inside the tile the PV dot pads to anyway (D < 128 unpadded).
+    # D % 128 == 0 (e.g. the VAE's D=512) has no free lane — keep the VPU
+    # rowsum there.
+    if not mxu_den or D % LANES == 0:
+        den_col = -1
+    else:
+        den_col = D if Dp > D else Dp
+
     Ltot = kv_k.shape[seq_ax]
     if Ltot <= onepass_max:
         # one-pass path (see _kernel_onepass): whole stream in one block,
@@ -552,7 +617,7 @@ def flash_interpolated_attention(
             _kernel_onepass, mode=mode, scale=kernel_scale1,
             n_self_cols=n_self * block_k, n_begin_cols=n_begin * block_k,
             H=hgroup, exp_impl=exp_impl, needs_mask=needs_mask,
-            unroll=short_unroll,
+            unroll=short_unroll, den_col=den_col,
         )
         q_spec1 = pl.BlockSpec((1, hgroup, block_q, Dp), lambda b, g, i, *_: (b, g, i, 0))
         kv_spec1 = pl.BlockSpec((1, hgroup, Ltot, Dp), lambda b, g, i, *_: (b, g, 0, 0))
@@ -600,6 +665,7 @@ def flash_interpolated_attention(
         n_steps=n_steps,
         needs_mask=needs_mask,
         exp_impl=exp_impl,
+        den_col=den_col,
     )
 
     q_spec = pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0))
@@ -615,8 +681,12 @@ def flash_interpolated_attention(
             # running max: shared for self/fused (coupled via the self
             # segment), per-set for pure outer (disjoint streams)
             pltpu.VMEM((n_m, block_q, LANES), jnp.float32),
-            pltpu.VMEM((n_sets, block_q, LANES), jnp.float32),
-            pltpu.VMEM((n_sets, block_q, Dp), jnp.float32),
+            # l: unused with the MXU-resident normalizer (minimal dummy —
+            # the normalizer rides acc lane den_col instead)
+            pltpu.VMEM((1, 8, LANES) if den_col >= 0 else
+                       (n_sets, block_q, LANES), jnp.float32),
+            pltpu.VMEM((n_sets, block_q,
+                        Dp + 1 if den_col == Dp else Dp), jnp.float32),
         ],
     )
 

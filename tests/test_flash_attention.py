@@ -134,6 +134,24 @@ def test_dispatch_threshold_boundary(mode, L):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["self", "fused_outer", "pure_outer"])
+def test_mxu_den_ab_equivalence(mode):
+    """MXU-resident normalizer (ones-column in V, default) == legacy VPU
+    rowsum path, at a masked partial-block shape (exercises both the
+    widened-V extend at D=64 and the l-scratch path)."""
+    B, H, S, L, D = 3, 2, 96, 200, 64
+    q, k, v, coef = _data(B, H, S, L, D, seed=9)
+    for onepass_max in (3072, 0):  # one-pass kernel AND the online main kernel
+        a = flash_interpolated_attention(
+            q, k, v, coef, mode, block_q=128, block_k=128, interpret=True,
+            mxu_den=True, onepass_max=onepass_max)
+        b = flash_interpolated_attention(
+            q, k, v, coef, mode, block_q=128, block_k=128, interpret=True,
+            mxu_den=False, onepass_max=onepass_max)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_random_shapes(seed):
     """Random shapes/modes/dtypes vs the jnp reference (interpret mode)."""

@@ -424,6 +424,72 @@ def probe_gn():
               lambda c: pro.apply(pp, c) * 0.01 + c * 0.5, x, fl)
 
 
+def probe_mxuden():
+    """A/B the MXU-resident softmax normalizer (ones-column in V) vs the
+    legacy VPU rowsum, at the four hot SDXL attention shapes."""
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    cases = [
+        (20, 1024, "self", 1), (20, 1024, "fused_outer", 3),
+        (10, 4096, "self", 1), (10, 4096, "fused_outer", 3),
+    ]
+    for (h, s, mode, mult) in cases:
+        q, k, v, coef = _attn_inputs(B, h, s, s, 64)
+        flops = 4 * B * h * s * (s * mult) * 64
+        for md in (True, False):
+            def f(c, k=k, v=v, coef=coef, mode=mode, md=md):
+                return flash_interpolated_attention(
+                    c, k, v, coef, mode, mxu_den=md,
+                ) * 1.0 + c * 0.0
+            name = f"r3md_{mode}{s}_h{h}_mxu{int(md)}"
+            try:
+                bench(name, f, q, flops)
+            except Exception as e:
+                print(json.dumps({"probe": name, "error": repr(e)[:160]}),
+                      flush=True)
+
+
+def probe_gnpk():
+    """Fused GN+SiLU+packed-conv kernel vs the unfused chain per class.
+    Compares against r3gn_gnsiluconv (the current routed chain)."""
+    import flax.linen as nn
+    from aid_tpu.models import layers
+    from aid_tpu.ops.conv import conv3x3_gnsilu
+
+    for (ch, hw) in ((320, 128), (640, 64), (1280, 32), (640, 128)):
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, hw, hw, ch), DT)
+        w = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, ch, ch),
+                               jnp.float32) * 0.02)
+        b = jnp.zeros((ch,), jnp.float32)
+        gamma = jnp.ones((ch,), jnp.float32)
+        beta = jnp.zeros((ch,), jnp.float32)
+        fl = 2 * B * hw * hw * 9 * ch * ch
+
+        class Pro(nn.Module):
+            @nn.compact
+            def __call__(self, h):
+                h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=DT)(h)
+                h = nn.silu(h)
+                return layers.Conv3x3(features=ch, dtype=DT)(h)
+
+        pro = Pro()
+        pp = pro.init(jax.random.PRNGKey(1), x)
+
+        def guard(name, fn, xx, flp):
+            try:
+                bench(name, fn, xx, flp, iters=30)
+            except Exception as e:
+                print(json.dumps({"probe": name, "error": repr(e)[:160]}),
+                      flush=True)
+
+        guard(f"r3gnpk_unfused_{ch}_{hw}",
+              lambda c: pro.apply(pp, c) * 0.01 + c * 0.5, x, fl)
+        guard(f"r3gnpk_fused_{ch}_{hw}",
+              lambda c, w=w, b=b: conv3x3_gnsilu(
+                  c, w, b, gamma, beta, num_groups=32) * 0.01 + c * 0.5,
+              x, fl)
+
+
 def probe_glue():
     """Isolate non-forward per-step cost in the real engine loop: time
     denoise_sequence at two step counts per phase (all-early / all-late)
@@ -528,6 +594,8 @@ PROBES = {
     "null": probe_null,
     "conv": probe_conv,
     "convpk": probe_convpk,
+    "gnpk": probe_gnpk,
+    "mxuden": probe_mxuden,
     "flash": probe_flash,
     "cross": probe_cross,
     "fwd": probe_fwd,
