@@ -124,6 +124,28 @@ class TestPallasConv:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
 
+    def test_gnsilu_fused_bf16(self):
+        """bf16 activations through the fused kernel (production dtype):
+        prologue computes in f32 from bf16 inputs, rounds once at the dot."""
+        from aid_tpu.ops.conv import conv3x3_gnsilu
+
+        rng = np.random.RandomState(13)
+        x = jnp.asarray(rng.randn(1, 16, 128, 320), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, 320, 320) * 0.05, jnp.float32)
+        b = jnp.zeros((320,), jnp.float32)
+        gamma = jnp.ones((320,), jnp.float32)
+        beta = jnp.zeros((320,), jnp.float32)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.bfloat16).apply(
+            {"params": {"scale": gamma, "bias": beta}}, x)
+        want = jax.lax.conv_general_dilated(
+            nn.silu(h).astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = conv3x3_gnsilu(x, w, b, gamma, beta, num_groups=32, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.08, rtol=0.08)
+
     def test_resnet_fused_branch_matches_unfused(self, monkeypatch):
         """ResnetBlock2D with the fused GN+conv routing on == off (same
         params, same outputs on CPU where the inline-prologue fallback
