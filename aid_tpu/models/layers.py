@@ -173,10 +173,12 @@ _FUSED_GN_CONV = False
 def gn_conv_fused(hw: int, cin: int) -> bool:
     """Classes where the resnet GN+SiLU prologue fuses into the packed-K
     Pallas conv (skipping the separate normalize+act HBM round trip,
-    0.40/0.23 ms per call at ch320/ch640 — PERF.md r3gn_*)."""
+    0.40/0.23 ms per call at ch320/ch640 — PERF.md r3gn_*). Capped at the
+    UNet spatial range: VAE-decoder resnets run 256^2..1024^2 strips whose
+    f32 row blocks would blow the VMEM envelope."""
     if not _FUSED_GN_CONV:
         return False
-    return hw >= 1024 and cin >= 320
+    return 1024 <= hw <= 16384 and cin >= 320
 
 
 class _GNAffine(nn.Module):

@@ -22,6 +22,9 @@ for s in $stages; do
     fwd)
       run python tools/fwd_probe.py
       ;;
+    refwf)
+      run python tools/ref_workflow.py
+      ;;
     bench)
       run python bench.py
       ;;
