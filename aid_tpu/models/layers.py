@@ -259,9 +259,9 @@ class Conv3x3(nn.Module):
             ], axis=-1)
             out = jnp.einsum("bhwk,ko->bhwo", cols, w.reshape(9 * cin, -1))
             return out + b
-        if impl == "pallas" and H % 8 == 0 and jax.default_backend() == "tpu":
+        if impl in ("pallas", "packed") and H % 8 == 0 and jax.default_backend() == "tpu":
             from aid_tpu.ops.conv import conv3x3_same
-            return conv3x3_same(x, w, b, block_rows=8)
+            return conv3x3_same(x, w, b, block_rows=8, packed=impl == "packed")
         out = jax.lax.conv_general_dilated(
             x, w, (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
