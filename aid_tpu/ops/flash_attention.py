@@ -137,17 +137,14 @@ def _kernel(
             col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
             s = jnp.where(col + base < valid, s, NEG_INF)
         v_blk = read(v_ref)
-        if mxu_den:
+        if den_col == v_blk.shape[-1]:
             # MXU-resident normalizer: a ones-column at lane den_col makes
-            # the PV product carry sum(p) along as one extra (already-padded
-            # or within-tile) output lane — the VPU rowsum reduction and the
-            # separate l accumulator disappear; the acc rescale covers both.
-            if den_col == v_blk.shape[-1]:
-                v_blk = jnp.pad(v_blk, ((0, 0), (0, 1)), constant_values=1)
-            else:
-                lane = jax.lax.broadcasted_iota(jnp.int32, v_blk.shape, 1)
-                v_blk = jnp.where(lane == den_col,
-                                  jnp.ones((), v_blk.dtype), v_blk)
+            # the PV product carry sum(p) along as one extra within-tile
+            # output lane — the VPU rowsum reduction and the separate l
+            # accumulator disappear; the acc rescale covers both. (When a
+            # zero pad lane exists, den_col < Dp, the wrapper already wrote
+            # the ones into the packed stream and no kernel op is needed.)
+            v_blk = jnp.pad(v_blk, ((0, 0), (0, 1)), constant_values=1)
 
         # With exp_impl="exp2" the scale folds in log2(e) (see caller), so
         # 2^(s-m) == e^(s'-m') exactly — same softmax, cheaper VPU op.
@@ -352,11 +349,10 @@ def _kernel_onepass(
         v_h = v_ref[0, h]
         if den_col == Dp:
             # MXU-resident normalizer (see _kernel): widen V by a ones
-            # column inside the lane tile the PV dot already pads to
+            # column inside the lane tile the PV dot already pads to (the
+            # Dp > D case needs nothing here — the wrapper wrote the ones
+            # into the packed stream's zero pad lane)
             v_h = jnp.pad(v_h, ((0, 0), (0, 1)), constant_values=1)
-        elif den_col >= 0:
-            lane = jax.lax.broadcasted_iota(jnp.int32, v_h.shape, 1)
-            v_h = jnp.where(lane == den_col, jnp.ones((), v_h.dtype), v_h)
         vw = v_h.shape[-1]
 
         stats = []  # per segment: (m, l|None, pv) — with den_col>=0 the
@@ -590,14 +586,17 @@ def flash_interpolated_attention(
     )
 
     # MXU-resident softmax normalizer lane (see kernel docstrings): the
-    # ones-column goes in an existing zero pad lane (Dp > D), or widens V by
-    # one lane inside the tile the PV dot pads to anyway (D < 128 unpadded).
-    # D % 128 == 0 (e.g. the VAE's D=512) has no free lane — keep the VPU
-    # rowsum there.
+    # ones-column goes in an existing zero pad lane (Dp > D — written ONCE
+    # into the packed stream here, so the kernels touch nothing), or widens
+    # V by one lane inside the tile the PV dot pads to anyway (D < 128
+    # unpadded — kernel-side pad). D % 128 == 0 (e.g. the VAE's D=512) has
+    # no free lane — keep the VPU rowsum there.
     if not mxu_den or D % LANES == 0:
         den_col = -1
     else:
         den_col = D if Dp > D else Dp
+    if 0 <= den_col < Dp:
+        kv_v = kv_v.at[..., den_col].set(1.0)
 
     Ltot = kv_k.shape[seq_ax]
     if Ltot <= onepass_max:
