@@ -233,8 +233,18 @@ def load_interpolation_pipeline(
     Layout: unet/ vae/ text_encoder/ tokenizer/ (scheduler config is read
     for prediction_type when present). Reference equivalent:
     InterpolationStableDiffusionPipeline.from_pretrained + load_aid.
+    SDXL-family directories (dual text encoders) are auto-detected and
+    delegated to load_interpolation_xl_pipeline, so this is the single
+    entry point whatever the checkpoint family.
     """
     from aid_tpu.pipelines import InterpolationPipeline
+
+    if os.path.isdir(os.path.join(repo_path, "text_encoder_2")):
+        return load_interpolation_xl_pipeline(
+            repo_path,
+            scheduler_name="auto" if scheduler_name == "ddim" else scheduler_name,
+            dtype=dtype,
+        )
 
     unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype)
     vae, vae_params = load_vae(os.path.join(repo_path, "vae"))

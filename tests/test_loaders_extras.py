@@ -283,3 +283,38 @@ class TestVAEDecodeDtype:
         cfg = vae_config_from_diffusers(
             {"block_out_channels": [32, 64], "force_upcast": False})
         assert cfg.force_upcast is False
+
+
+class TestSDXLAutoDetect:
+    """load_interpolation_pipeline is the single entry point: SDXL-family
+    directories (dual text encoders) delegate to the XL loader."""
+
+    def test_delegates_on_text_encoder_2(self, tmp_path, monkeypatch):
+        from aid_tpu.models import loader
+
+        (tmp_path / "text_encoder_2").mkdir()
+        seen = {}
+
+        def fake_xl(repo_path, scheduler_name="auto", dtype=None):
+            seen["args"] = (repo_path, scheduler_name)
+            return "xl-pipe"
+
+        monkeypatch.setattr(loader, "load_interpolation_xl_pipeline", fake_xl)
+        out = loader.load_interpolation_pipeline(str(tmp_path))
+        assert out == "xl-pipe"
+        # the SD-only "ddim" default maps to the XL loader's auto-dispatch
+        assert seen["args"] == (str(tmp_path), "auto")
+
+    def test_explicit_scheduler_forwarded(self, tmp_path, monkeypatch):
+        from aid_tpu.models import loader
+
+        (tmp_path / "text_encoder_2").mkdir()
+        seen = {}
+
+        def fake_xl(repo_path, scheduler_name="auto", dtype=None):
+            seen["sched"] = scheduler_name
+            return "xl-pipe"
+
+        monkeypatch.setattr(loader, "load_interpolation_xl_pipeline", fake_xl)
+        loader.load_interpolation_pipeline(str(tmp_path), scheduler_name="unipc")
+        assert seen["sched"] == "unipc"
