@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+from typing import Optional
 
 import jax.numpy as jnp
 
@@ -100,10 +101,30 @@ def clip_text_config_from_transformers(cfg: dict) -> C.CLIPTextConfig:
     )
 
 
-def load_unet(path: str, dtype=jnp.bfloat16):
+def _convert_cached(kind: str, path: str, convert, cache_dir):
+    """safetensors -> pytree conversion, optionally cached on disk.
+
+    With ``cache_dir`` set, the converted flax tree is stored via orbax
+    (utils/cache.py, SURVEY.md §5.4) keyed by component kind + source path,
+    so subsequent loads skip the safetensors read + layout transposes
+    entirely. The key is the path — delete the cache entry to pick up a
+    checkpoint replaced in place.
+    """
+    if cache_dir is None:
+        return convert(load_safetensors(path))
+    import hashlib
+
+    from aid_tpu.utils.cache import cached_convert
+
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    return cached_convert(lambda p: convert(load_safetensors(p)), path,
+                          cache_dir, f"{kind}-{tag}")
+
+
+def load_unet(path: str, dtype=jnp.bfloat16, cache_dir=None):
     cfg = unet_config_from_diffusers(_read_config(path))
     module = UNet2DCondition(cfg, dtype=dtype)
-    params = convert_unet_state_dict(load_safetensors(path))
+    params = _convert_cached("unet", path, convert_unet_state_dict, cache_dir)
     return module, params
 
 
@@ -112,7 +133,7 @@ def vae_decode_dtype(cfg: C.VAEConfig):
     return jnp.float32 if cfg.force_upcast else jnp.bfloat16
 
 
-def load_vae(path: str, dtype=None):
+def load_vae(path: str, dtype=None, cache_dir=None):
     """dtype=None honors the checkpoint's ``force_upcast``: True (SD/SDXL
     default) -> float32 decode (reference upcast_vae,
     pipeline_interpolated_sdxl.py:2347-2357); False (sdxl-vae-fp16-fix,
@@ -123,14 +144,14 @@ def load_vae(path: str, dtype=None):
     if dtype is None:
         dtype = vae_decode_dtype(cfg)
     module = AutoencoderKL(cfg, dtype=dtype)
-    params = convert_vae_state_dict(load_safetensors(path))
+    params = _convert_cached("vae", path, convert_vae_state_dict, cache_dir)
     return module, params
 
 
-def load_text_encoder(path: str, dtype=jnp.float32):
+def load_text_encoder(path: str, dtype=jnp.float32, cache_dir=None):
     cfg = clip_text_config_from_transformers(_read_config(path))
     module = CLIPTextModel(cfg, dtype=dtype)
-    params = convert_clip_text_state_dict(load_safetensors(path))
+    params = _convert_cached("text", path, convert_clip_text_state_dict, cache_dir)
     return module, params
 
 
@@ -227,6 +248,7 @@ def load_interpolation_pipeline(
     scheduler_name: str = "ddim",
     dtype=jnp.bfloat16,
     guidance_scale: float = 7.5,
+    cache_dir: Optional[str] = None,
 ):
     """Build an InterpolationPipeline from a local SD1.x/2.x checkpoint dir.
 
@@ -244,11 +266,12 @@ def load_interpolation_pipeline(
             repo_path,
             scheduler_name="auto" if scheduler_name == "ddim" else scheduler_name,
             dtype=dtype,
+            cache_dir=cache_dir,
         )
 
-    unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype)
-    vae, vae_params = load_vae(os.path.join(repo_path, "vae"))
-    text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"))
+    unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype, cache_dir=cache_dir)
+    vae, vae_params = load_vae(os.path.join(repo_path, "vae"), cache_dir=cache_dir)
+    text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"), cache_dir=cache_dir)
     tokenizer = load_tokenizer(os.path.join(repo_path, "tokenizer"))
     scheduler = load_scheduler(repo_path, scheduler_name)
 
@@ -338,7 +361,8 @@ def load_single_file_pipeline(
     )
 
 
-def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "auto", dtype=jnp.bfloat16):
+def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "auto", dtype=jnp.bfloat16,
+                                   cache_dir: Optional[str] = None):
     """Build an InterpolationXLPipeline from a local SDXL checkpoint dir.
 
     scheduler_name='auto' honors the checkpoint's scheduler_config.json
@@ -346,10 +370,10 @@ def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "auto",
     (reference play_sdxl_trial.ipynb cell 3)."""
     from aid_tpu.pipelines.sdxl import InterpolationXLPipeline
 
-    unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype)
-    vae, vae_params = load_vae(os.path.join(repo_path, "vae"))
-    text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"))
-    text2, text2_params = load_text_encoder(os.path.join(repo_path, "text_encoder_2"))
+    unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype, cache_dir=cache_dir)
+    vae, vae_params = load_vae(os.path.join(repo_path, "vae"), cache_dir=cache_dir)
+    text, text_params = load_text_encoder(os.path.join(repo_path, "text_encoder"), cache_dir=cache_dir)
+    text2, text2_params = load_text_encoder(os.path.join(repo_path, "text_encoder_2"), cache_dir=cache_dir)
     scheduler = load_scheduler(repo_path, scheduler_name)
 
     return InterpolationXLPipeline(

@@ -295,7 +295,7 @@ class TestSDXLAutoDetect:
         (tmp_path / "text_encoder_2").mkdir()
         seen = {}
 
-        def fake_xl(repo_path, scheduler_name="auto", dtype=None):
+        def fake_xl(repo_path, scheduler_name="auto", dtype=None, **kw):
             seen["args"] = (repo_path, scheduler_name)
             return "xl-pipe"
 
@@ -311,10 +311,91 @@ class TestSDXLAutoDetect:
         (tmp_path / "text_encoder_2").mkdir()
         seen = {}
 
-        def fake_xl(repo_path, scheduler_name="auto", dtype=None):
+        def fake_xl(repo_path, scheduler_name="auto", dtype=None, **kw):
             seen["sched"] = scheduler_name
             return "xl-pipe"
 
         monkeypatch.setattr(loader, "load_interpolation_xl_pipeline", fake_xl)
         loader.load_interpolation_pipeline(str(tmp_path), scheduler_name="unipc")
         assert seen["sched"] == "unipc"
+
+
+class TestParamCache:
+    """cache_dir routes conversions through utils/cache.cached_convert:
+    second load restores the orbax tree and never touches safetensors."""
+
+    def _write_tiny_text_encoder(self, d):
+        import json as _json
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        from aid_tpu.models import configs
+        from aid_tpu.models.clip import CLIPTextModel
+
+        cfg = configs.TINY_CLIP_TEXT
+        model = CLIPTextModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 7), jnp.int32))
+        p = params["params"]
+        sd = {
+            "text_model.embeddings.token_embedding.weight": np.asarray(p["token_embedding"]["embedding"]),
+            "text_model.embeddings.position_embedding.weight": np.asarray(p["position_embedding"]["embedding"]),
+            "text_model.final_layer_norm.weight": np.asarray(p["final_layer_norm"]["scale"]),
+            "text_model.final_layer_norm.bias": np.asarray(p["final_layer_norm"]["bias"]),
+        }
+        for i in range(cfg.num_hidden_layers):
+            lp = p[f"layers_{i}"]
+            base = f"text_model.encoder.layers.{i}"
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[f"{base}.self_attn.{proj}.weight"] = np.asarray(lp["self_attn"][proj]["kernel"]).T
+                sd[f"{base}.self_attn.{proj}.bias"] = np.asarray(lp["self_attn"][proj]["bias"])
+            for ln in ("layer_norm1", "layer_norm2"):
+                sd[f"{base}.{ln}.weight"] = np.asarray(lp[ln]["scale"])
+                sd[f"{base}.{ln}.bias"] = np.asarray(lp[ln]["bias"])
+            sd[f"{base}.mlp.fc1.weight"] = np.asarray(lp["mlp_fc1"]["kernel"]).T
+            sd[f"{base}.mlp.fc1.bias"] = np.asarray(lp["mlp_fc1"]["bias"])
+            sd[f"{base}.mlp.fc2.weight"] = np.asarray(lp["mlp_fc2"]["kernel"]).T
+            sd[f"{base}.mlp.fc2.bias"] = np.asarray(lp["mlp_fc2"]["bias"])
+        save_file(sd, str(d / "model.safetensors"))
+        with open(d / "config.json", "w") as f:
+            _json.dump({
+                "vocab_size": cfg.vocab_size,
+                "hidden_size": cfg.hidden_size,
+                "intermediate_size": cfg.intermediate_size,
+                "num_hidden_layers": cfg.num_hidden_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "max_position_embeddings": cfg.max_position_embeddings,
+            }, f)
+
+    def test_second_load_skips_safetensors(self, tmp_path, monkeypatch):
+        import jax
+        import numpy as np
+
+        from aid_tpu.models import loader
+
+        ckpt = tmp_path / "text_encoder"
+        ckpt.mkdir()
+        self._write_tiny_text_encoder(ckpt)
+        cache = tmp_path / "cache"
+
+        _, p1 = loader.load_text_encoder(str(ckpt), cache_dir=str(cache))
+
+        def boom(path):
+            raise AssertionError("safetensors read on a cached load")
+
+        monkeypatch.setattr(loader, "load_safetensors", boom)
+        _, p2 = loader.load_text_encoder(str(ckpt), cache_dir=str(cache))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            p1, p2)
+
+    def test_no_cache_dir_converts_every_time(self, tmp_path):
+        from aid_tpu.models import loader
+
+        ckpt = tmp_path / "text_encoder"
+        ckpt.mkdir()
+        self._write_tiny_text_encoder(ckpt)
+        _, p1 = loader.load_text_encoder(str(ckpt))
+        assert not list(tmp_path.glob("cache*"))
