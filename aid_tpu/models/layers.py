@@ -208,6 +208,11 @@ class Conv3x3(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    # "auto" = measured per-class lowering (may emit pallas_call, which is
+    # opaque to the GSPMD partitioner); "xla" forces the lax.conv lowering
+    # for GSPMD-partitioned programs — mirrors CrossAttention's
+    # attention_backend escape hatch.
+    conv_backend: str = "auto"
 
     @nn.compact
     def __call__(self, x, prologue=None):
@@ -225,7 +230,8 @@ class Conv3x3(nn.Module):
             # (same one-pass-variance formula flax GroupNorm uses) and fall
             # through to the normal lowering dispatch.
             gamma, beta, groups = prologue
-            if jax.default_backend() == "tpu" and H % 8 == 0:
+            if (self.conv_backend == "auto" and jax.default_backend() == "tpu"
+                    and H % 8 == 0):
                 from aid_tpu.ops.conv import conv3x3_gnsilu
                 return conv3x3_gnsilu(x, kernel, bias, gamma, beta,
                                       num_groups=groups, block_rows=8)
@@ -237,6 +243,10 @@ class Conv3x3(nn.Module):
             xf = g.reshape(x.shape) * gamma + beta
             x = nn.silu(xf).astype(self.dtype)
         impl = conv_lowering(H * W, cin)
+        if self.conv_backend != "auto" and impl in ("pallas", "packed"):
+            # "xla": keep the measured einsum lowerings (shift9/im2col are
+            # plain jnp and partition fine) but never emit a pallas_call
+            impl = "lax"
         if impl == "shift9":
             xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             out = None
@@ -274,6 +284,7 @@ class ResnetBlock2D(nn.Module):
     out_channels: int
     norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    conv_backend: str = "auto"  # see Conv3x3.conv_backend
 
     def _gn_silu_conv(self, h, norm_name, conv_name):
         """norm -> SiLU -> 3x3 conv, fused into one Pallas kernel on the
@@ -281,14 +292,16 @@ class ResnetBlock2D(nn.Module):
         identical to the original module chain. Both branches declare the
         same param tree (norm/scale, norm/bias via _GNAffine)."""
         _, H, W, cin = h.shape
-        if gn_conv_fused(H * W, cin) and cin % self.norm_num_groups == 0:
+        if (self.conv_backend == "auto" and gn_conv_fused(H * W, cin)
+                and cin % self.norm_num_groups == 0):
             gamma, beta = _GNAffine(cin, name=norm_name)()
             return Conv3x3(self.out_channels, dtype=self.dtype, name=conv_name)(
                 h, prologue=(gamma, beta, self.norm_num_groups))
         h = nn.GroupNorm(num_groups=self.norm_num_groups, epsilon=1e-5,
                          dtype=self.dtype, name=norm_name)(h)
         h = nn.silu(h)
-        return Conv3x3(self.out_channels, dtype=self.dtype, name=conv_name)(h)
+        return Conv3x3(self.out_channels, dtype=self.dtype,
+                       conv_backend=self.conv_backend, name=conv_name)(h)
 
     @nn.compact
     def __call__(self, x, temb):
@@ -317,12 +330,14 @@ class Downsample2D(nn.Module):
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_backend: str = "auto"  # see Conv3x3.conv_backend
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
-        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
+        return Conv3x3(self.out_channels, dtype=self.dtype,
+                       conv_backend=self.conv_backend, name="conv")(x)
 
 
 class CrossAttention(nn.Module):

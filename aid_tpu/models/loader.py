@@ -245,9 +245,9 @@ def load_scheduler(repo_path: str, scheduler_name: str = "auto"):
 
 def load_interpolation_pipeline(
     repo_path: str,
-    scheduler_name: str = "ddim",
+    scheduler_name: Optional[str] = None,
     dtype=jnp.bfloat16,
-    guidance_scale: float = 7.5,
+    guidance_scale: Optional[float] = None,
     cache_dir: Optional[str] = None,
 ):
     """Build an InterpolationPipeline from a local SD1.x/2.x checkpoint dir.
@@ -257,17 +257,25 @@ def load_interpolation_pipeline(
     InterpolationStableDiffusionPipeline.from_pretrained + load_aid.
     SDXL-family directories (dual text encoders) are auto-detected and
     delegated to load_interpolation_xl_pipeline, so this is the single
-    entry point whatever the checkpoint family.
+    entry point whatever the checkpoint family. ``scheduler_name=None``
+    means the family default (ddim for SD, the checkpoint's configured
+    scheduler for SDXL); an explicit name is honored either way, as is
+    ``guidance_scale`` (family defaults 7.5 / 5.0).
     """
     from aid_tpu.pipelines import InterpolationPipeline
 
     if os.path.isdir(os.path.join(repo_path, "text_encoder_2")):
         return load_interpolation_xl_pipeline(
             repo_path,
-            scheduler_name="auto" if scheduler_name == "ddim" else scheduler_name,
+            scheduler_name="auto" if scheduler_name is None else scheduler_name,
             dtype=dtype,
+            guidance_scale=guidance_scale,
             cache_dir=cache_dir,
         )
+    if scheduler_name is None:
+        scheduler_name = "ddim"
+    if guidance_scale is None:
+        guidance_scale = 7.5
 
     unet, unet_params = load_unet(os.path.join(repo_path, "unet"), dtype=dtype, cache_dir=cache_dir)
     vae, vae_params = load_vae(os.path.join(repo_path, "vae"), cache_dir=cache_dir)
@@ -362,6 +370,7 @@ def load_single_file_pipeline(
 
 
 def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "auto", dtype=jnp.bfloat16,
+                                   guidance_scale: Optional[float] = None,
                                    cache_dir: Optional[str] = None):
     """Build an InterpolationXLPipeline from a local SDXL checkpoint dir.
 
@@ -384,4 +393,5 @@ def load_interpolation_xl_pipeline(repo_path: str, scheduler_name: str = "auto",
         text_encoder_2=text2, text_params_2=text2_params,
         tokenizer_2=load_tokenizer(os.path.join(repo_path, "tokenizer_2")),
         scheduler=scheduler,
+        **({} if guidance_scale is None else {"guidance_scale": guidance_scale}),
     )

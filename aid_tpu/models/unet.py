@@ -39,6 +39,9 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     attention_backend: str = "auto"  # "auto" | "flash" (Pallas) | "xla" (jnp)
+    # "auto" | "xla": "xla" keeps convs free of pallas_call so the program
+    # can be GSPMD-partitioned (see layers.Conv3x3.conv_backend)
+    conv_backend: str = "auto"
     # mesh axis name the frame dim is sharded over (shard_map mode)
     frame_axis: Optional[object] = None  # str or tuple of mesh axis names
 
@@ -100,6 +103,7 @@ class UNet2DCondition(nn.Module):
             is_final = level == cfg.num_levels - 1
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                                  conv_backend=self.conv_backend,
                                   name=f"down_blocks_{level}_resnets_{j}")(h, emb)
                 if cfg.cross_attention_levels[level]:
                     h = make_transformer(level, f"down_blocks_{level}_attentions_{j}")(
@@ -116,6 +120,7 @@ class UNet2DCondition(nn.Module):
         has_any_cross = any(cfg.cross_attention_levels)
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          conv_backend=self.conv_backend,
                           name="mid_block_resnets_0")(h, emb)
         if has_any_cross:
             mid_level = top if cfg.cross_attention_levels[top] else next(
@@ -134,6 +139,7 @@ class UNet2DCondition(nn.Module):
                 name="mid_block_attentions_0",
             )(h, encoder_hidden_states, aid)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          conv_backend=self.conv_backend,
                           name="mid_block_resnets_1")(h, emb)
 
         # 5. up path (reversed levels, layers_per_block+1 resnets, skip concat)
@@ -145,12 +151,13 @@ class UNet2DCondition(nn.Module):
                 h, skip = apply_freeu(up_idx, h, skip, freeu)
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                                  conv_backend=self.conv_backend,
                                   name=f"up_blocks_{up_idx}_resnets_{j}")(h, emb)
                 if cfg.cross_attention_levels[level]:
                     h = make_transformer(level, f"up_blocks_{up_idx}_attentions_{j}")(
                         h, encoder_hidden_states, aid)
             if not is_final:
-                h = Upsample2D(out_ch, dtype=self.dtype,
+                h = Upsample2D(out_ch, dtype=self.dtype, conv_backend=self.conv_backend,
                                name=f"up_blocks_{up_idx}_upsamplers_0")(h)
 
         # 6. out

@@ -23,7 +23,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+from aid_tpu.ops.pallas_util import compiler_params
 
 
 def _kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, TH: int, W: int):
@@ -140,13 +141,7 @@ def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         # (3, 3*Cin, Cout): w_packed[dy] = [w[dy,0]; w[dy,1]; w[dy,2]] rows
         wp = w.reshape(3, 3 * Cin, Cout)
         kernel = functools.partial(_kernel_packed, TH=TH, W=W)
-        try:
-            cp = pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            )
-        except TypeError:
-            cp = None
+        cp = compiler_params("parallel", "parallel")
         return pl.pallas_call(
             kernel,
             grid=(B, H // TH),
@@ -202,13 +197,7 @@ def conv3x3_gnsilu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     strip_spec = pl.BlockSpec((1, TH, W + 2, Cin), lambda bb, i: (bb, i, 0, 0))
     aff_spec = pl.BlockSpec((1, 1, Cin), lambda bb, i: (bb, 0, 0))
     kernel = functools.partial(_kernel_packed_gnsilu, TH=TH, W=W, H=H)
-    try:
-        cp = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        )
-    except TypeError:
-        cp = None
+    cp = compiler_params("parallel", "parallel")
     return pl.pallas_call(
         kernel,
         grid=(B, H // TH),
@@ -227,15 +216,9 @@ def conv3x3_gnsilu(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 def _call_9dot(kernel, views, w, b2, B, H, W, TH, Cin, Cout, dtype, interpret):
     strip_spec = pl.BlockSpec((1, TH, W + 2, Cin), lambda bb, i: (bb, i, 0, 0))
-    try:
-        # the default 16 MB scoped-vmem budget rejects resident (3,3,Cin,
-        # Cout) weights at Cin>=512; v5e has 128 MB of VMEM — raise the cap
-        cp = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        )
-    except TypeError:
-        cp = None
+    # resident (3,3,Cin,Cout) weights at Cin>=512 exceed the default
+    # scoped-vmem budget; compiler_params raises the shared cap
+    cp = compiler_params("parallel", "parallel")
     return pl.pallas_call(
         kernel,
         grid=(B, H // TH),

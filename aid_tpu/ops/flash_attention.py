@@ -53,9 +53,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aid_tpu.ops.attention import AttnMode
+from aid_tpu.ops.pallas_util import compiler_params as _compiler_params
 
 NEG_INF = -1e30
 LANES = 128
+# One-pass kernel resident-KV envelope: heads-per-group x packed-stream
+# cols must stay under this (proven at the S=1024 H=20 SDXL shape).
+_ONEPASS_MAX_RESIDENT_COLS = 20 * 1024
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -609,8 +613,14 @@ def flash_interpolated_attention(
         # inside the proven envelope (20 heads x 1024 cols — the S=1024 H=20
         # SDXL shape). Bigger Ltot => fewer heads per grid step, so VMEM
         # stays bounded while the grid regains parallelism.
-        hgroup = next(g for g in range(H, 0, -1)
-                      if H % g == 0 and g * Ltot <= 20 * 1024)
+        # None when even a single head exceeds the envelope (possible with a
+        # user-raised onepass_max): fall through to the streaming main
+        # kernel rather than crash.
+        hgroup = next((g for g in range(H, 0, -1)
+                       if H % g == 0 and g * Ltot <= _ONEPASS_MAX_RESIDENT_COLS), None)
+    else:
+        hgroup = None
+    if hgroup is not None:
         kernel_scale1 = float(scale) * (1.4426950408889634 if exp_impl == "exp2" else 1.0)
         k1 = functools.partial(
             _kernel_onepass, mode=mode, scale=kernel_scale1,
@@ -630,18 +640,11 @@ def flash_interpolated_attention(
             in_specs=[q_spec1, kv_spec1, kv_spec1],
             out_specs=q_spec1,
         )
-        try:
-            # whole-stream blocks at (1, H, 1024, Dp) x q/k/v/out exceed the
-            # default ~23 MB scoped-vmem budget once double-buffered (seen
-            # as a compile-time stack OOM inside large programs at B=7 H=20
-            # — standalone compiles pass, full denoise programs don't);
-            # v5e has 128 MB of VMEM, raise the cap like ops/conv.py does
-            cp1 = pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel"),
-                vmem_limit_bytes=100 * 1024 * 1024,
-            )
-        except TypeError:
-            cp1 = None
+        # whole-stream blocks at (1, H, 1024, Dp) x q/k/v/out exceed the
+        # default scoped-vmem budget once double-buffered (seen as a
+        # compile-time stack OOM inside large programs at B=7 H=20 —
+        # standalone compiles pass, full denoise programs don't)
+        cp1 = _compiler_params("parallel", "parallel", "parallel")
         out = pl.pallas_call(
             k1, grid_spec=grid_spec1,
             out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
@@ -691,16 +694,7 @@ def flash_interpolated_attention(
 
     # batch/head/q-block grid dims are embarrassingly parallel; only the
     # kv-step dim carries the online-softmax state.
-    try:
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            # big-block configs (up to 4096x4096 logit slabs, see the
-            # per-shape block table in dispatch) need more than the ~23 MB
-            # default scoped budget; v5e has 128 MB of VMEM
-            vmem_limit_bytes=100 * 1024 * 1024,
-        )
-    except TypeError:  # older pallas without the field
-        compiler_params = None
+    cp = _compiler_params("parallel", "parallel", "parallel", "arbitrary")
 
     if skip_endpoints is None or not mode.is_fused:
         # pure modes have no self segments — their single pass must run
@@ -712,7 +706,7 @@ def flash_interpolated_attention(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
-        compiler_params=compiler_params,
+        compiler_params=cp,
         interpret=interpret,
     )(lens, cf, skip, qp, kv_k, kv_v)
     return out[:, :, :Sq, :D]

@@ -14,6 +14,13 @@ anywhere). The TPU-native scaling design (SURVEY.md §5.8):
 Sharding is expressed with jax.sharding.NamedSharding on the inputs; the
 jitted engine programs are partitioned by GSPMD. Works identically on a
 virtual CPU mesh (tests / driver dry run) and real ICI-connected chips.
+
+GSPMD + Pallas: pallas_call is opaque to the partitioner, so on this path
+construct the models with ``attention_backend="xla"`` AND
+``conv_backend="xla"`` (UNet2DCondition / AutoencoderKL fields) — both
+keep the measured pure-XLA lowerings but never emit a pallas_call. The
+shard_map path runs per-device programs and uses the Pallas kernels
+freely.
 """
 
 from __future__ import annotations

@@ -167,7 +167,7 @@ def _denoise_impl(
             return step_fn(i, c, early, force_vanilla=i >= warmup_steps)
 
         carry = jax.lax.fori_loop(start, end, fused_step, carry)
-    else:
+    elif isinstance(start, int) and isinstance(end, int):
         # static split of [start, end) at the warmup boundary
         early_end = min(max(warmup_steps, start), end)
         if early_end > start:
@@ -178,6 +178,19 @@ def _denoise_impl(
             carry = jax.lax.fori_loop(
                 early_end, end, lambda i, c: step_fn(i, c, late), carry
             )
+    else:
+        # traced [start, end) bounds (the chunked/denoise_steps path): the
+        # warmup split becomes a traced clamp and each phase a while_loop
+        # that may run zero trips — ONE compiled program services every
+        # chunk, so a per-step callback_on_step_end costs one compilation,
+        # not one per step.
+        split = jnp.clip(jnp.asarray(warmup_steps, jnp.int32), start, end)
+        carry = jax.lax.fori_loop(
+            start, split, lambda i, c: step_fn(i, c, early), carry
+        )
+        carry = jax.lax.fori_loop(
+            split, end, lambda i, c: step_fn(i, c, late), carry
+        )
     return carry
 
 
@@ -222,8 +235,6 @@ def denoise_sequence(
         "scheduler",
         "early",
         "late",
-        "start",
-        "end",
         "warmup_steps",
         "guidance_rescale",
         "eta",
@@ -239,6 +250,11 @@ def denoise_steps(
 ):
     """Chunked-denoise primitive: AID CFG steps [start, end) of a longer
     schedule; returns (latents, sched_state) so chunks compose.
+
+    ``start``/``end`` are TRACED operands (the warmup split is a traced
+    clamp inside), so every chunk of a given workload shares one compiled
+    program — chunk size (including the per-step-callback chunk=1 case)
+    never multiplies compilation cost.
 
     This is the cooperative-cancel building block: the pipelines run
     ceil(steps/chunk) of these and check ``InterpolationPipeline.interrupt()``
@@ -350,8 +366,12 @@ def tiled_decode(vae, vae_params, z: jnp.ndarray,
     tl = tile_latent_size
     stride = max(1, int(tl * (1.0 - tile_overlap_factor)))  # latent stride
     ts = tl * f  # decoded tile size (px)
-    blend = int(ts * tile_overlap_factor)  # blend extent (px)
-    limit = ts - blend  # per-tile contribution (px)
+    # blend extent = the ACTUAL pixel overlap between adjacent tiles, and
+    # the per-tile contribution = the pixel stride — derived from `stride`
+    # (not independently rounded from the overlap factor) so the assembly
+    # stays seam-aligned for every tile size, not just tl % 4 == 0.
+    limit = stride * f  # per-tile contribution (px)
+    blend = ts - limit  # blend extent (px)
 
     n_rows = max(1, -(-h // stride))  # ceil; tile starts at i*stride
     n_cols = max(1, -(-w // stride))

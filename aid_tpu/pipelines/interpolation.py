@@ -516,7 +516,12 @@ class InterpolationPipeline:
         else:
             emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
             emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
-            emb_g = self.encode_prompt(guide_prompt, negative_prompt)[0] if guide_prompt is not None else None
+            if guide_prompt_embeds is not None:
+                # pre-computed guide embeds are honored with or without
+                # pre-computed endpoint embeds
+                emb_g = jnp.asarray(guide_prompt_embeds)
+            else:
+                emb_g = self.encode_prompt(guide_prompt, negative_prompt)[0] if guide_prompt is not None else None
         if emb_g is not None:
             emb_t = emb_g
         else:
@@ -662,6 +667,12 @@ class InterpolationPipeline:
                 self.generate_latent(seed + i, height, width)
                 for i in range(num_images_per_prompt)
             ], axis=0)
+        elif num_images_per_prompt != 1 and num_images_per_prompt != latents.shape[0]:
+            raise ValueError(
+                f"num_images_per_prompt={num_images_per_prompt} but explicit "
+                f"latents have batch {latents.shape[0]}; pass matching "
+                "latents or omit one of the two (diffusers requires the "
+                "same consistency in prepare_latents)")
         emb, uncond = self.encode_prompt(prompt, negative_prompt)[:2]
         if latents.shape[0] > 1:
             emb = jnp.repeat(emb, latents.shape[0], axis=0)

@@ -289,3 +289,27 @@ def test_onepass_pure_outer_disjoint_stream_precision():
                                        v_begin=v[0], k_end=ke, v_end=v[-1],
                                        interpret=True, onepass_max=16384)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_onepass_envelope_overflow_falls_back_to_main_kernel(monkeypatch):
+    """onepass_max above the VMEM envelope must route to the streaming main
+    kernel, not raise StopIteration mid-trace (code-review r3 finding).
+    The envelope is shrunk so a small shape exercises the fallback."""
+    import aid_tpu.ops.flash_attention as fa
+
+    B, H, S, D = 1, 2, 256, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, S, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, S, D), jnp.float32)
+    coef = jnp.zeros((B,), jnp.float32)
+
+    kwargs = dict(mode=AttnMode("self"), interpret=True, onepass_max=4096)
+    monkeypatch.setattr(fa, "_ONEPASS_MAX_RESIDENT_COLS", 128)
+    via_fallback = fa.flash_interpolated_attention(q, k, v, coef, **kwargs)
+    monkeypatch.undo()
+    # onepass_max=0 forces the main kernel explicitly; the fallback must
+    # have taken the identical path
+    forced_main = fa.flash_interpolated_attention(
+        q, k, v, coef, mode=AttnMode("self"), interpret=True, onepass_max=0)
+    np.testing.assert_allclose(np.asarray(via_fallback), np.asarray(forced_main),
+                               rtol=1e-6, atol=1e-6)

@@ -213,7 +213,10 @@ class TestTiledDecode:
         vae = self._stub_vae()
         z = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 24, 4))
         full = vae.apply({}, z, method="decode")
-        for tile in (8, 12, 16):
+        # 6 and 10 are NOT divisible by 4: the blend extent must be derived
+        # from the stride (actual overlap), not rounded independently, or
+        # tiles assemble displaced (code-review r3 finding).
+        for tile in (6, 8, 10, 12, 16):
             out = tiled_decode(vae, {}, z, tile_latent_size=tile)
             np.testing.assert_allclose(np.asarray(out), np.asarray(full),
                                        atol=1e-6, err_msg=f"tile={tile}")
@@ -252,3 +255,39 @@ class TestTiledDecode:
             vae, params, z, 0.18215, tile_latent_size=16, per_frame=True))
         assert out.shape == (1, 48, 48, 3)
         assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+
+
+class TestConvBackend:
+    """conv_backend="xla" (GSPMD-safe, no pallas_call) must share the exact
+    param tree and numerics with "auto" — mirrors attention_backend."""
+
+    def test_xla_backend_matches_auto(self, rngs):
+        cfg = configs.TINY_UNET
+        auto = UNet2DCondition(cfg)
+        xla = UNet2DCondition(cfg, conv_backend="xla")
+        B, H = 2, cfg.sample_size
+        sample = jax.random.normal(jax.random.PRNGKey(0), (B, H, H, cfg.in_channels))
+        t = jnp.array(10)
+        ehs = jax.random.normal(jax.random.PRNGKey(1), (B, 7, cfg.cross_attention_dim))
+        params = auto.init(rngs, sample, t, ehs)
+        # identical param tree: checkpoints convert the same whichever
+        # backend the module uses
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(xla.init(rngs, sample, t, ehs)))
+        a = auto.apply(params, sample, t, ehs)
+        b = xla.apply(params, sample, t, ehs)
+        # on CPU both routes lower identically (the pallas classes are
+        # TPU-gated), so this pins plumbing, not kernels
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_conv3x3_field_forces_lax_for_pallas_class(self):
+        from aid_tpu.models.layers import Conv3x3, conv_lowering
+
+        # the wide high-res class routes pallas under "auto" on TPU;
+        # the field must reroute exactly that class
+        assert conv_lowering(128 * 128, 640) == "pallas"
+        m = Conv3x3(8, conv_backend="xla")
+        x = jnp.ones((1, 8, 8, 4))
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(p, x)
+        assert out.shape == (1, 8, 8, 8)
