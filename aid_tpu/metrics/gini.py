@@ -21,7 +21,13 @@ def compute_gini(distances: Sequence[float]) -> float:
     # sum_{i,j} |d_i - d_j| = 2 * sum_i (2i - n + 1) d_(i)  for sorted d
     idx = np.arange(n)
     sum_diff = 2.0 * np.sum((2 * idx - n + 1) * d)
-    return float(sum_diff / (2 * n * n * d.mean()))
+    mean = d.mean()
+    if mean <= 0.0:
+        # all-zero distances (identical frames): perfectly equal
+        # distribution -> Gini 0, not 0/0 = NaN (which would poison the
+        # GP-UCB smoothness search downstream)
+        return 0.0
+    return float(sum_diff / (2 * n * n * mean))
 
 
 def compute_smoothness_and_consistency(distances: Sequence[float]) -> Tuple[float, float, float]:

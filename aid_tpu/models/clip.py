@@ -98,9 +98,19 @@ class CLIPTextModel(nn.Module):
         final_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")
         out = final_ln(selected)
 
-        # pooled: final-layer-normed last hidden at the EOS (argmax token id) position
+        # pooled: final-layer-normed last hidden at the EOS position.
+        # transformers semantics: legacy configs with eos_token_id == 2 use
+        # argmax(ids) (valid only while EOS is the largest id); otherwise
+        # take the FIRST occurrence of the configured EOS id, which stays
+        # correct when textual-inversion tokens (ids > EOS) are present.
         final_normed = final_ln(x) if clip_skip > 0 else out
-        eos_idx = jnp.argmax(input_ids, axis=-1)
+        if cfg.eos_token_id == 2:
+            eos_idx = jnp.argmax(input_ids, axis=-1)
+        else:
+            is_eos = input_ids == cfg.eos_token_id
+            eos_idx = jnp.where(is_eos.any(axis=-1),
+                                jnp.argmax(is_eos.astype(jnp.int32), axis=-1),
+                                jnp.argmax(input_ids, axis=-1))
         pooled = final_normed[jnp.arange(b), eos_idx]
         if cfg.projection_dim is not None:
             pooled = nn.Dense(cfg.projection_dim, use_bias=False, dtype=self.dtype, name="text_projection")(pooled)

@@ -79,6 +79,11 @@ class CLIPTextConfig:
     max_position_embeddings: int = 77
     hidden_act: str = "quick_gelu"  # SDXL text_encoder_2 uses "gelu"
     projection_dim: Optional[int] = None  # set for CLIPTextModelWithProjection
+    # EOS id for pooled-output position. 2 = the legacy HF configs whose
+    # recorded id is wrong (transformers falls back to argmax(ids) there);
+    # any other value selects the FIRST occurrence of that id, which stays
+    # correct when textual-inversion tokens (ids > EOS) are added.
+    eos_token_id: int = 49407
 
 
 @dataclasses.dataclass(frozen=True)

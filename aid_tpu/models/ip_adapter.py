@@ -62,7 +62,10 @@ class PerceiverAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         # original resampler scales q AND k by dim_head**-0.25 each
         scale = self.dim_head ** -0.5
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+        # f32 MXU accumulation BEFORE the cast (like clip.py / ops.attention)
+        # — casting a bf16-rounded product cannot recover the mantissa
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
         probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, inner)

@@ -98,6 +98,7 @@ def clip_text_config_from_transformers(cfg: dict) -> C.CLIPTextConfig:
         max_position_embeddings=cfg.get("max_position_embeddings", 77),
         hidden_act=cfg.get("hidden_act", "quick_gelu"),
         projection_dim=proj,
+        eos_token_id=cfg.get("eos_token_id", 49407),
     )
 
 

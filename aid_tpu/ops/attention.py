@@ -89,8 +89,6 @@ def resolve_backend(backend: str = "auto") -> str:
     """
     if backend != "auto":
         return backend
-    import jax
-
     return "flash" if jax.default_backend() == "tpu" else "xla"
 
 

@@ -287,21 +287,28 @@ def denoise_range(
     start: int,
     end: int,
     eta: float = 0.0,
+    added_cond=None,
+    added_cond_uncond=None,
 ):
     """Vanilla-attention CFG denoising over step range [start, end).
 
     Composition primitive for the denoising-interpolation baseline
     (reference gradio_src/pipeline_interpolated_stable_diffusion.py:523-583,
     which switches conditioning embeddings at a step ratio with no AID).
-    Returns (latents, sched_state) so multistep schedulers compose.
+    ``added_cond``/``added_cond_uncond`` carry the SDXL micro-conditioning
+    dicts (pooled text_embeds + time_ids); SDXL configs assert on their
+    presence. Returns (latents, sched_state) so multistep schedulers
+    compose.
     """
+    if added_cond is not None and added_cond_uncond is None:
+        added_cond_uncond = added_cond
 
     def body(i, carry):
         latents, state = carry
         t = state.timesteps[i]
         latent_in = scheduler.scale_model_input(state, latents, i)
-        noise_text = unet.apply(params, latent_in, t, embs)
-        noise_uncond = unet.apply(params, latent_in, t, uncond_embs)
+        noise_text = unet.apply(params, latent_in, t, embs, None, added_cond)
+        noise_uncond = unet.apply(params, latent_in, t, uncond_embs, None, added_cond_uncond)
         noise = noise_uncond + guidance_scale * (noise_text - noise_uncond)
         latents, state = scheduler.step(state, noise, i, latents, eta=eta)
         return latents, state

@@ -532,13 +532,13 @@ class InterpolationPipeline:
 
         ip_cond = ip_uncond = None
         if image_embeds_end is not None:
+            if negative_image_embeds is None:
+                negative_image_embeds = jnp.zeros_like(image_embeds_end)
             if image_embeds_start is None:
                 # scale-control: start endpoint is the negative embed (sd:1772-1774)
                 image_embeds_start = negative_image_embeds
             ip_t = self._interp_pair(image_embeds_start, image_embeds_end, it, init)
             ip_cond = jnp.concatenate([image_embeds_start, ip_t, image_embeds_end], axis=0)
-            if negative_image_embeds is None:
-                negative_image_embeds = jnp.zeros_like(image_embeds_end)
             ip_uncond = jnp.concatenate([negative_image_embeds] * 3, axis=0)
 
         coef = jnp.array([0.0, it, 1.0], jnp.float32)
@@ -606,6 +606,19 @@ class InterpolationPipeline:
                 final = np.concatenate([final, images[1:2]], axis=0)
         return final
 
+    def _cond_kwargs(self, prompt: str, negative_prompt: str, batch: int,
+                     latent_hw) -> tuple:
+        """(cond embeds, uncond embeds, extra engine kwargs) for a vanilla
+        CFG run, repeated to ``batch`` rows. The SDXL subclass overrides
+        this to supply the added_cond micro-conditioning dicts its UNet
+        requires, which makes the inherited ``__call__`` and
+        ``denoising_interpolate`` work unchanged on SDXL."""
+        emb, uncond = self.encode_prompt(prompt, negative_prompt)[:2]
+        if batch > 1:
+            emb = jnp.repeat(emb, batch, axis=0)
+            uncond = jnp.repeat(uncond, batch, axis=0)
+        return emb, uncond, {}
+
     def denoising_interpolate(
         self,
         latents: jnp.ndarray,
@@ -620,12 +633,9 @@ class InterpolationPipeline:
         (reference gradio :523-583)."""
         if guidance_scale is None:
             guidance_scale = self.guidance_scale
-        # [:2] tolerates the SDXL subclass's (emb, neg, pooled, neg_pooled)
-        emb1, _ = self.encode_prompt(text_1)[:2]
-        emb2, _ = self.encode_prompt(text_2)[:2]
-        uncond, _ = self.encode_prompt(negative_prompt)[:2]
         n = latents.shape[0]
-        emb1, emb2, uncond = (jnp.repeat(e, n, axis=0) for e in (emb1, emb2, uncond))
+        emb1, uncond, extra1 = self._cond_kwargs(text_1, negative_prompt, n, latents.shape[1:3])
+        emb2, _, extra2 = self._cond_kwargs(text_2, negative_prompt, n, latents.shape[1:3])
 
         state = self.scheduler.init(timesteps, latent_shape=latents.shape)
         latents = latents * state.init_noise_sigma
@@ -633,11 +643,11 @@ class InterpolationPipeline:
         g = jnp.float32(guidance_scale)
         latents, state = engine.denoise_range(
             self.unet, self.scheduler, self.unet_params, latents, emb1, uncond,
-            state, g, start=0, end=switch,
+            state, g, start=0, end=switch, **extra1,
         )
         latents, state = engine.denoise_range(
             self.unet, self.scheduler, self.unet_params, latents, emb2, uncond,
-            state, g, start=switch, end=timesteps,
+            state, g, start=switch, end=timesteps, **extra2,
         )
         return self._decode(latents)
 
@@ -673,16 +683,14 @@ class InterpolationPipeline:
                 f"latents have batch {latents.shape[0]}; pass matching "
                 "latents or omit one of the two (diffusers requires the "
                 "same consistency in prepare_latents)")
-        emb, uncond = self.encode_prompt(prompt, negative_prompt)[:2]
-        if latents.shape[0] > 1:
-            emb = jnp.repeat(emb, latents.shape[0], axis=0)
-            uncond = jnp.repeat(uncond, latents.shape[0], axis=0)
+        emb, uncond, extra = self._cond_kwargs(
+            prompt, negative_prompt, latents.shape[0], latents.shape[1:3])
         state = self.scheduler.init(num_inference_steps, latent_shape=latents.shape)
         latents = latents * state.init_noise_sigma
         final, _ = engine.denoise_range(
             self.unet, self.scheduler, self.unet_params, latents,
             emb, uncond, state, jnp.float32(guidance_scale),
-            start=0, end=num_inference_steps,
+            start=0, end=num_inference_steps, **extra,
         )
         if output_type == "latent":
             return final

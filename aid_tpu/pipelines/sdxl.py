@@ -55,26 +55,29 @@ class InterpolationXLPipeline(InterpolationPipeline):
     def _effective_steps(self, num_inference_steps: int, denoising_end: Optional[float]) -> int:
         """denoising_end support (reference sdxl:2204-2220): stop the loop at
         the discrete timestep cutoff for mixture-of-denoisers setups."""
-        if denoising_end is None or not (0.0 < denoising_end < 1.0):
+        if denoising_end is None:
             return num_inference_steps
+        if not (0.0 < denoising_end < 1.0):
+            raise ValueError(
+                f"denoising_end must be in (0, 1), got {denoising_end}")
         T = self.scheduler.config.num_train_timesteps if hasattr(self.scheduler, "config") else 1000
         cutoff = round(T - denoising_end * T)
         state = self.scheduler.init(num_inference_steps)
-        import numpy as np
-
         return int(np.sum(np.asarray(state.timesteps) >= cutoff))
 
     def encode_prompt(self, prompt: str, negative_prompt: str = "", clip_skip: int = 0):
         """Returns (emb, neg, pooled, neg_pooled): (1,S,2048) cond/uncond
         embeds plus the pooled conditioning from encoder 2 for both
-        (reference encode_prompt, sdxl:644-870)."""
+        (reference encode_prompt, sdxl:644-870). ``clip_skip`` selects
+        hidden_states[-(clip_skip + 2)] from BOTH encoders (sdxl:582-586);
+        the default 0 is SDXL's standard penultimate layer."""
         def enc(text):
             ids1 = jnp.asarray(self.tokenizer(text))
             ids2 = jnp.asarray(self.tokenizer_2(text))
-            # SDXL uses penultimate hidden states from both encoders
             h1, _, hs1 = self.text_encoder.apply(self.text_params, ids1)
             h2, pooled2, hs2 = self.text_encoder_2.apply(self.text_params_2, ids2)
-            emb = jnp.concatenate([hs1[-2], hs2[-2]], axis=-1)
+            layer = -(clip_skip + 2)
+            emb = jnp.concatenate([hs1[layer], hs2[layer]], axis=-1)
             return emb, pooled2
 
         emb, pooled = enc(prompt)
@@ -84,6 +87,24 @@ class InterpolationXLPipeline(InterpolationPipeline):
     def _time_ids(self, batch: int, height: int, width: int) -> jnp.ndarray:
         ids = jnp.array([height, width, 0, 0, height, width], jnp.float32)
         return jnp.broadcast_to(ids[None], (batch, 6))
+
+    def _cond_kwargs(self, prompt: str, negative_prompt: str, batch: int,
+                     latent_hw) -> tuple:
+        """SDXL micro-conditioning for the inherited vanilla entry points
+        (__call__, denoising_interpolate): pooled embeds + time_ids built
+        from the latent spatial size."""
+        emb, uncond, pooled, neg_pooled = self.encode_prompt(prompt, negative_prompt)
+        if batch > 1:
+            emb = jnp.repeat(emb, batch, axis=0)
+            uncond = jnp.repeat(uncond, batch, axis=0)
+            pooled = jnp.repeat(pooled, batch, axis=0)
+            neg_pooled = jnp.repeat(neg_pooled, batch, axis=0)
+        f = 2 ** (len(self.vae.config.block_out_channels) - 1)
+        time_ids = self._time_ids(batch, latent_hw[0] * f, latent_hw[1] * f)
+        return emb, uncond, {
+            "added_cond": {"text_embeds": pooled, "time_ids": time_ids},
+            "added_cond_uncond": {"text_embeds": neg_pooled, "time_ids": time_ids},
+        }
 
     def interpolate(
         self,
@@ -139,7 +160,7 @@ class InterpolationXLPipeline(InterpolationPipeline):
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, added_cond=added,
             added_cond_uncond=added_uncond,
-            output_type="latent" if denoising_end else output_type,
+            output_type="latent" if denoising_end is not None else output_type,
             per_frame_decode=True,
             num_run_steps=self._effective_steps(num_inference_steps, denoising_end),
         )
@@ -197,12 +218,12 @@ class InterpolationXLPipeline(InterpolationPipeline):
 
         ip_cond = ip_uncond = None
         if image_embeds_end is not None:
+            if negative_image_embeds is None:
+                negative_image_embeds = jnp.zeros_like(image_embeds_end)
             if image_embeds_start is None:
                 image_embeds_start = negative_image_embeds
             ip_t = self._interp_pair(image_embeds_start, image_embeds_end, it, init)
             ip_cond = jnp.concatenate([image_embeds_start, ip_t, image_embeds_end], axis=0)
-            if negative_image_embeds is None:
-                negative_image_embeds = jnp.zeros_like(image_embeds_end)
             ip_uncond = jnp.concatenate([negative_image_embeds] * 3, axis=0)
 
         coef = jnp.array([0.0, it, 1.0], jnp.float32)
@@ -215,7 +236,7 @@ class InterpolationXLPipeline(InterpolationPipeline):
             ip_image_embeds=ip_cond, ip_uncond_image_embeds=ip_uncond,
             added_cond=added,
             added_cond_uncond=added_uncond,
-            output_type="latent" if denoising_end else output_type,
+            output_type="latent" if denoising_end is not None else output_type,
             per_frame_decode=True,
             num_run_steps=self._effective_steps(num_inference_steps, denoising_end),
         )

@@ -120,7 +120,10 @@ class BetaPriorPipeline:
         return 1.0 - cos
 
     def _gen(self, t: float, **kw) -> np.ndarray:
-        ims = self.pipe.interpolate_single(t, early="fused_outer", **kw)
+        # exploration default (reference prior.py:134 early="fused_outer"),
+        # overridable by caller kwargs without a keyword collision
+        kw.setdefault("early", "fused_outer")
+        ims = self.pipe.interpolate_single(t, **kw)
         return ims
 
     def explore_with_beta(
@@ -159,6 +162,12 @@ class BetaPriorPipeline:
             F_t = (beta_cdf(A, alpha, beta) + beta_cdf(B, alpha, beta)) / 2.0
             t = float(beta_ppf(F_t, alpha, beta))
             if uniform:
+                # reference prior.py:87-89: uniform mode picks the widest
+                # COEFFICIENT gap (not the largest perceptual-distance gap)
+                # and bisects it at the arithmetic midpoint
+                gaps = np.asarray(xs) - np.asarray([0.0] + xs[:-1])
+                idx = int(np.argmax(gaps)) - 1
+                A, B = xs[idx], xs[idx + 1]
                 t = (A + B) / 2.0
             if not (0.0 < t < 1.0) or not np.isfinite(t):
                 break

@@ -291,3 +291,46 @@ class TestConvBackend:
         p = m.init(jax.random.PRNGKey(0), x)
         out = m.apply(p, x)
         assert out.shape == (1, 8, 8, 8)
+
+
+class TestPooledEOSPosition:
+    """transformers semantics for the pooled position (review r3b):
+    first occurrence of the configured EOS id — robust to textual-inversion
+    tokens whose ids exceed the EOS id — with the legacy argmax fallback."""
+
+    def _cfg(self, eos):
+        import dataclasses
+
+        return dataclasses.replace(configs.TINY_CLIP_TEXT, eos_token_id=eos)
+
+    def test_first_eos_wins_over_larger_ti_id(self, rngs):
+        cfg = self._cfg(eos=7)
+        model = CLIPTextModel(cfg)
+        params = model.init(rngs, jnp.zeros((1, 6), jnp.int32))
+        # TI token id 40 (> eos 7) after the EOS at position 3
+        ids_ti = jnp.array([[1, 5, 40, 7, 7, 7]])
+        # same EOS position, no TI token
+        ids_plain = jnp.array([[1, 5, 2, 7, 7, 7]])
+        _, pooled_ti, _ = model.apply(params, ids_ti)
+        # pooled must come from position 3 (first eos), not argmax position 2
+        hs, _, _ = model.apply(params, ids_ti)
+        np.testing.assert_allclose(np.asarray(pooled_ti), np.asarray(hs[:, 3]),
+                                   rtol=1e-6)
+
+    def test_legacy_eos2_uses_argmax(self, rngs):
+        cfg = self._cfg(eos=2)
+        model = CLIPTextModel(cfg)
+        params = model.init(rngs, jnp.zeros((1, 5), jnp.int32))
+        ids = jnp.array([[1, 9, 4, 2, 2]])
+        hs, pooled, _ = model.apply(params, ids)
+        np.testing.assert_allclose(np.asarray(pooled), np.asarray(hs[:, 1]),
+                                   rtol=1e-6)  # argmax(ids) = position of 9
+
+    def test_no_eos_falls_back_to_argmax(self, rngs):
+        cfg = self._cfg(eos=7)
+        model = CLIPTextModel(cfg)
+        params = model.init(rngs, jnp.zeros((1, 4), jnp.int32))
+        ids = jnp.array([[1, 9, 4, 3]])
+        hs, pooled, _ = model.apply(params, ids)
+        np.testing.assert_allclose(np.asarray(pooled), np.asarray(hs[:, 1]),
+                                   rtol=1e-6)

@@ -185,3 +185,46 @@ class TestNativeSolver:
         s_py = max(ws(p_py)) - min(ws(p_py))
         assert abs(s_cpp - s_py) < 1e-4
         assert p_cpp[0] == 0 and p_cpp[-1] == m - 1
+
+
+class TestReviewR3bFixes:
+    def test_early_kwarg_does_not_collide(self):
+        """Passing early= through explore must override the fused_outer
+        default, not raise 'multiple values for keyword' (review r3b)."""
+        seen = []
+
+        class Pipe(_FakePipe):
+            def interpolate_single(self, t, *a, **kw):
+                seen.append(kw.get("early"))
+                return super().interpolate_single(t, *a, **kw)
+
+        bp = BetaPriorPipeline(Pipe(), _fake_features)
+        bp.explore_with_beta("a", "b", exploration_size=4,
+                             num_inference_steps=2, early="pure_inner")
+        assert seen and all(e == "pure_inner" for e in seen)
+
+    def test_uniform_insertion_picks_widest_x_gap(self):
+        """Reference prior.py:87-89: uniform mode bisects the widest
+        COEFFICIENT gap, not the largest perceptual gap."""
+        # features where the perceptual distance of the [0.5, 1.0] pair is
+        # made artificially huge while x-gaps stay symmetric: insertion
+        # must still go by x-gap (first insert splits 0-0.5 or 0.5-1 at
+        # .25/.75 regardless of which ds entry dominates)
+        def skew_features(images):
+            t = images.reshape(images.shape[0], -1).mean(axis=1) / 255.0
+            ang = np.where(t > 0.5, t * 2.5, t * 0.2)  # wildly asymmetric
+            return np.stack([np.cos(ang), np.sin(ang)], axis=1)
+
+        bp = BetaPriorPipeline(_FakePipe(), skew_features)
+        _, _, _, xs, _, _ = bp.explore_with_beta(
+            "a", "b", exploration_size=5, uniform=True, num_inference_steps=2)
+        # widest-gap bisection from [0,.5,1] gives .25 and .75 (order may
+        # vary); perceptual-gap insertion would bisect [.5,1] twice (.75,
+        # .875) and never produce .25
+        assert any(abs(x - 0.25) < 1e-9 for x in xs)
+        assert any(abs(x - 0.75) < 1e-9 for x in xs)
+
+    def test_gini_all_zero_distances(self):
+        assert compute_gini([0.0, 0.0, 0.0]) == 0.0
+        s, c, m = compute_smoothness_and_consistency([0.0, 0.0])
+        assert s == 1.0 and c == 0.0 and m == 0.0

@@ -297,3 +297,47 @@ class TestDenoisingEnd:
             0.5, prompt_start="a", prompt_end="b", num_inference_steps=4,
         )
         assert full.shape[-1] == 3  # decoded images
+
+
+class TestSDXLInheritedEntryPoints:
+    """Review r3b: the inherited vanilla entry points must supply the SDXL
+    micro-conditioning (added_cond) via _cond_kwargs or the UNet asserts."""
+
+    @pytest.mark.slow
+    def test_plain_call(self, xl_pipe):
+        out = xl_pipe(prompt="a cat", num_inference_steps=2)
+        assert out.shape == (1, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    @pytest.mark.slow
+    def test_denoising_interpolate(self, xl_pipe):
+        lat = jnp.concatenate(
+            [xl_pipe.generate_latent(0), xl_pipe.generate_latent(1)], axis=0)
+        out = xl_pipe.denoising_interpolate(lat, "a cat", "a dog",
+                                            interpolated_ratio=0.5, timesteps=2)
+        assert out.shape == (2, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    def test_clip_skip_changes_embeddings(self, xl_pipe):
+        e0 = xl_pipe.encode_prompt("a cat")[0]
+        e1 = xl_pipe.encode_prompt("a cat", clip_skip=1)[0]
+        assert np.abs(np.asarray(e0 - e1)).max() > 1e-6
+
+    def test_denoising_end_out_of_range_raises(self, xl_pipe):
+        with pytest.raises(ValueError, match="denoising_end"):
+            xl_pipe.interpolate_single(
+                0.5, prompt_start="a", prompt_end="b",
+                num_inference_steps=2, denoising_end=1.0)
+
+
+class TestIPEmbedsEndOnly:
+    @pytest.mark.slow
+    def test_end_only_defaults_start_to_zeros(self, ip_pipe):
+        """image_embeds_end without start/negative must not crash: negative
+        defaults to zeros and becomes the start endpoint (review r3b)."""
+        _, e1 = TestIPAdapter._embeds(TestIPAdapter())
+        out = ip_pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            image_embeds_end=e1, num_inference_steps=2)
+        assert out.shape == (3, 16, 16, 3)
+        assert np.isfinite(out.astype(np.float32)).all()
