@@ -129,8 +129,8 @@ def build_app(pipeline_factory):
         negative = gr.Textbox(label="Negative prompt")
         with gr.Row():
             size = gr.Slider(3, 15, value=7, step=1, label="Interpolation size")
-            alpha = gr.Slider(0.1, 50, value=25, label="alpha")
-            beta = gr.Slider(0.1, 50, value=25, label="beta")
+            alpha = gr.Slider(0.1, 700, value=25, label="alpha")  # examples go up to 602
+            beta = gr.Slider(0.1, 700, value=25, label="beta")
         with gr.Row():
             warmup = gr.Slider(0.0, 1.0, value=0.5, label="Warmup ratio")
             guidance = gr.Slider(1.0, 15.0, value=10.0, label="Guidance scale")

@@ -237,10 +237,14 @@ def load_scheduler(repo_path: str, scheduler_name: str = "auto"):
         clip_sample=sc.get("clip_sample", False),
         rescale_betas_zero_snr=sc.get("rescale_betas_zero_snr", False),
     )
+    if scheduler_name == "euler":
+        # honor the checkpoint's Karras-sigma pin (diffusers from_pretrained
+        # reads it from the same config)
+        return EulerDiscreteScheduler(
+            sch_cfg, use_karras_sigmas=sc.get("use_karras_sigmas", False))
     return {
         "ddim": DDIMScheduler,
         "unipc": UniPCScheduler,
-        "euler": EulerDiscreteScheduler,
     }[scheduler_name](sch_cfg)
 
 
@@ -321,7 +325,6 @@ def load_single_file_pipeline(
         convert_vae_state_dict,
     )
     from aid_tpu.pipelines import InterpolationPipeline
-    from aid_tpu.schedulers import DDIMScheduler, EulerDiscreteScheduler, SchedulerConfig, UniPCScheduler
 
     if checkpoint_path.endswith(".safetensors"):
         sd = load_safetensors(checkpoint_path)
@@ -357,9 +360,10 @@ def load_single_file_pipeline(
     text = CLIPTextModel(text_cfg)
     text_params = convert_clip_text_state_dict(text_sd)
 
-    sch_cfg = SchedulerConfig()  # SD-1.x defaults (scaled_linear 0.00085-0.012)
-    scheduler = {"ddim": DDIMScheduler, "unipc": UniPCScheduler,
-                 "euler": EulerDiscreteScheduler}[scheduler_name](sch_cfg)
+    # no scheduler_config.json in single-file checkpoints: load_scheduler
+    # degrades to the SD-1.x defaults (scaled_linear 0.00085-0.012) and
+    # keeps the name->class dispatch in ONE place
+    scheduler = load_scheduler(os.path.dirname(checkpoint_path) or ".", scheduler_name)
 
     return InterpolationPipeline(
         unet=unet, unet_params=unet_params,

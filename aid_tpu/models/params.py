@@ -416,11 +416,10 @@ def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
 
 
 def merge_params(base: Dict, extra: Dict) -> Dict:
-    """Deep-merge ``extra`` into a copy of ``base`` (e.g. IP weights into a
-    converted UNet tree — the reference's load_ip_adapter step)."""
-    import copy
-
-    out = copy.deepcopy(base)
+    """Deep-merge ``extra`` into a structural copy of ``base`` (e.g. IP
+    weights into a converted UNet tree — the reference's load_ip_adapter
+    step). Unmodified array leaves are shared, not copied."""
+    out = _shallow_tree_copy(base)
 
     def rec(dst, src):
         for k, v in src.items():
@@ -472,17 +471,52 @@ def convert_lpips_state_dict(sd: Dict[str, Any]) -> Dict:
     for k, v in sd.items():
         w = _to_numpy(v)
         if k.startswith("net.slice"):
-            # torchvision vgg indices restart from 0 inside each slice; the
-            # lpips wrapper keeps global indices — handle both by parsing int
+            # the lpips wrapper's slices keep torchvision's GLOBAL sequential
+            # indices (add_module by original index), which is what this maps;
+            # a re-saved model with slice-local indices would silently collide,
+            # so cross-check the slice number and fail loudly instead
             parts = k.split(".")
+            slice_no = int(parts[1][len("slice"):])
             idx = int(parts[2])
-            si, ci = seq_to_pos[idx]
+            si, ci = seq_to_pos.get(idx, (None, None))
+            if si != slice_no - 1:
+                raise ValueError(
+                    f"unexpected LPIPS key {k}: slice{slice_no} with "
+                    f"non-global layer index {idx} (re-saved slice-local "
+                    "checkpoint?)")
             name, w = _convert_leaf(parts[-1], w, "")
             _assign(tree, ("vgg", f"conv{si}_{ci}", name), w)
         elif k.startswith("lin"):
             si = int(k[3])
             _assign(tree, (f"lin{si}", "kernel"), w.transpose(2, 3, 1, 0))
     return {"params": tree}
+
+
+def _shallow_tree_copy(tree):
+    """Rebuild the dict structure while SHARING array leaves — merge
+    operations replace a handful of leaves, so deep-copying a multi-GB
+    UNet tree (the previous behavior) wasted seconds and doubled host RAM."""
+    if isinstance(tree, dict):
+        return {k: _shallow_tree_copy(v) for k, v in tree.items()}
+    return tree
+
+
+def _resolve_underscore_path(name: str, node) -> Optional[tuple]:
+    """Resolve a kohya underscore-joined module name against the params
+    tree by greedy longest-prefix matching at each level (no name table:
+    the tree's own keys define the segmentation)."""
+    path = []
+    while name:
+        if not isinstance(node, dict):
+            return None
+        matches = [k for k in node.keys() if name == k or name.startswith(k + "_")]
+        if not matches:
+            return None
+        k = max(matches, key=len)
+        path.append(k)
+        node = node[k]
+        name = name[len(k):].lstrip("_")
+    return tuple(path)
 
 
 def merge_lora(params: Dict, lora_state_dict: Dict[str, Any], scale: float = 1.0) -> Dict:
@@ -498,16 +532,21 @@ def merge_lora(params: Dict, lora_state_dict: Dict[str, Any], scale: float = 1.0
     Accepts diffusers/PEFT-format keys:
       <module path>.lora_A.weight (r, in) / <module path>.lora_B.weight (out, r)
       (also ``lora.down`` / ``lora.up`` and ``lora_down`` / ``lora_up``)
+    and kohya-format keys (``lora_unet_<underscore_joined_path>.lora_down.
+    weight``; the stem is resolved by a greedy longest-prefix walk of the
+    params tree, so no name table is needed). Text-encoder keys
+    (``text_encoder.*`` / ``lora_te*``) are skipped when merging into a
+    UNet tree. Conv LoRAs (4-d down weights) are merged in HWIO layout.
     Optional per-module ``.alpha`` scalars rescale by alpha/r.
     """
-    import copy
-
-    out = copy.deepcopy(params)
+    out = _shallow_tree_copy(params)
 
     pairs: Dict[str, Dict[str, np.ndarray]] = {}
     for key, value in lora_state_dict.items():
         k = key
-        for pre in ("unet.", "base_model.model."):
+        if k.startswith(("text_encoder.", "text_encoder_2.", "lora_te")):
+            continue  # text-encoder LoRA: not part of this tree
+        for pre in ("unet.", "base_model.model.", "lora_unet_"):
             if k.startswith(pre):
                 k = k[len(pre):]
         k = k.replace(".lora.down.", ".lora_A.").replace(".lora.up.", ".lora_B.")
@@ -525,11 +564,15 @@ def merge_lora(params: Dict, lora_state_dict: Dict[str, Any], scale: float = 1.0
     for stem, d in pairs.items():
         if "A" not in d or "B" not in d:
             continue
-        A, B = d["A"], d["B"]  # (r, in), (out, r)
+        A, B = d["A"], d["B"]  # (r, in[, kh, kw]), (out, r[, 1, 1])
         r = A.shape[0]
         alpha = float(d.get("alpha", r))
-        delta = (B @ A) * (scale * alpha / r)  # (out, in) torch layout
-        path, _ = _torch_path_to_flax(stem.split(".") + ["weight"])
+        if "." in stem:
+            path, _ = _torch_path_to_flax(stem.split(".") + ["weight"])
+        else:  # kohya: underscore-joined module path
+            path = _resolve_underscore_path(stem, params["params"])
+            if path is None:
+                raise KeyError(f"kohya LoRA target not found in params: {stem}")
         node = out["params"]
         try:
             for p in path:
@@ -537,9 +580,16 @@ def merge_lora(params: Dict, lora_state_dict: Dict[str, Any], scale: float = 1.0
         except KeyError:
             raise KeyError(f"LoRA target not found in params: {stem} -> {path}")
         kernel = node["kernel"]
-        if kernel.ndim == 2:  # linear: flax (in, out)
+        if A.ndim == 4:  # conv LoRA: A (r, in, kh, kw), B (out, r, 1, 1)
+            kh, kw = A.shape[2], A.shape[3]
+            delta = (B.reshape(B.shape[0], -1) @ A.reshape(r, -1)) * (scale * alpha / r)
+            delta = delta.reshape(B.shape[0], A.shape[1], kh, kw)  # (out,in,kh,kw)
+            node["kernel"] = kernel + delta.transpose(2, 3, 1, 0).astype(kernel.dtype)
+        elif kernel.ndim == 2:  # linear: flax (in, out)
+            delta = (B @ A) * (scale * alpha / r)  # (out, in) torch layout
             node["kernel"] = kernel + delta.transpose(1, 0).astype(kernel.dtype)
-        else:  # conv 1x1 LoRA: (out, in, 1, 1) -> HWIO
+        else:  # conv 1x1 LoRA with 2-d factors: (out, in, 1, 1) -> HWIO
+            delta = (B @ A) * (scale * alpha / r)
             node["kernel"] = kernel + delta.reshape(*delta.shape, 1, 1).transpose(2, 3, 1, 0).astype(kernel.dtype)
     return out
 
@@ -556,15 +606,27 @@ def load_textual_inversion(text_params: Dict, tokenizer, checkpoint, token: Opti
     (new_params, n_added) — rebuild the text encoder with vocab_size grown
     by n_added (flax nn.Embed validates the table against the config).
     """
-    import copy
+    import os as _os
 
+    name_hint = None
     if isinstance(checkpoint, str):
-        flat = load_safetensors(checkpoint)
-        checkpoint = flat
+        name_hint = _os.path.splitext(_os.path.basename(checkpoint))[0]
+        checkpoint = load_safetensors(checkpoint)
 
-    if "string_to_param" in checkpoint:  # A1111
+    if "string_to_param" in checkpoint:  # A1111 .pt layout
         embedding = _to_numpy(checkpoint["string_to_param"]["*"])
-        token = token or checkpoint.get("name", "<concept>")
+        token = token or checkpoint.get("name", name_hint or "<concept>")
+    elif "emb_params" in checkpoint:  # A1111/civitai .safetensors layout
+        embedding = _to_numpy(checkpoint["emb_params"])
+        token = token or name_hint or "<concept>"
+    elif token is not None and token in checkpoint:
+        embedding = _to_numpy(checkpoint[token])
+    elif len(checkpoint) == 1:
+        # single-tensor file keyed by an arbitrary name: the tensor is the
+        # embedding; the placeholder is the explicit token or the filename
+        only_key = next(iter(checkpoint.keys()))
+        embedding = _to_numpy(checkpoint[only_key])
+        token = token or (name_hint or only_key)
     else:
         if token is None:
             token = next(iter(checkpoint.keys()))
@@ -572,7 +634,7 @@ def load_textual_inversion(text_params: Dict, tokenizer, checkpoint, token: Opti
     if embedding.ndim == 1:
         embedding = embedding[None]
 
-    out = copy.deepcopy(text_params)
+    out = _shallow_tree_copy(text_params)
     table = np.asarray(out["params"]["token_embedding"]["embedding"])
     n_new = embedding.shape[0]
     new_ids = list(range(table.shape[0], table.shape[0] + n_new))

@@ -69,6 +69,15 @@ def _find_minimal_spread_and_path_py(n: int, m: int, weights: np.ndarray):
             high, best_D, best_path = D, D, path
         else:
             low = D
+    if best_path is None:
+        # The bisection probes strictly below the upper bound, so instances
+        # whose minimal feasible spread IS the full weight range — including
+        # all-equal weights (high == 0, loop never runs) — need one probe at
+        # the bound itself. The reference (prior.py:239-254) returns
+        # (None, None) here and its caller crashes; documented deviation.
+        path = _is_path_possible(high, n, m, weights, W)
+        if path is not None:
+            best_D, best_path = high, path
     return best_D, best_path
 
 

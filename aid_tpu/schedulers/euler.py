@@ -44,7 +44,9 @@ class EulerDiscreteScheduler:
             sigmas = (smax ** (1 / rho) + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
             ts = np.array([self._sigma_to_t(s, np.log(all_sigmas)) for s in sigmas])
         sigmas = np.concatenate([sigmas, [0.0]])
-        init_sigma = float(np.sqrt(sigmas[0] ** 2 + 1)) if cfg.timestep_spacing in ("leading", "trailing") else float(sigmas.max())
+        # diffusers EulerDiscreteScheduler.init_noise_sigma: max_sigma for
+        # "linspace"/"trailing"; sqrt(max^2 + 1) only for "leading"
+        init_sigma = float(np.sqrt(sigmas[0] ** 2 + 1)) if cfg.timestep_spacing == "leading" else float(sigmas.max())
         return EulerState(
             timesteps=jnp.asarray(ts, jnp.float32),
             sigmas=jnp.asarray(sigmas, jnp.float32),

@@ -10,21 +10,42 @@ from typing import Dict, Optional
 import jax
 
 
+class _Phase:
+    """Handle yielded by PhaseTimer.phase: register the value produced
+    INSIDE the phase so the timer can device-sync on it at exit (under
+    JAX async dispatch, timing without syncing the phase's own output
+    measures only the ~ms dispatch cost)."""
+
+    def __init__(self):
+        self._sync_value = None
+
+    def sync(self, value):
+        self._sync_value = value
+        return value
+
+
 class PhaseTimer:
-    """Accumulates wall-clock per named phase; forces device sync on exit."""
+    """Accumulates wall-clock per named phase; forces device sync on exit.
+
+    Usage::
+
+        with timer.phase("denoise") as ph:
+            latents = ph.sync(jitted_fn(...))  # synced at phase exit
+    """
 
     def __init__(self):
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
 
     @contextlib.contextmanager
-    def phase(self, name: str, sync_value=None):
+    def phase(self, name: str):
+        ph = _Phase()
         t0 = time.perf_counter()
         try:
-            yield
+            yield ph
         finally:
-            if sync_value is not None:
-                jax.block_until_ready(sync_value)
+            if ph._sync_value is not None:
+                jax.block_until_ready(ph._sync_value)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

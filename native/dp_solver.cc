@@ -104,6 +104,16 @@ double find_minimal_spread_and_path(int n, int m, const double* weights,
       low = D;
     }
   }
+  if (best_D < 0) {
+    // The bisection never probes D == high, so instances whose minimal
+    // feasible spread equals the full weight range (incl. all-equal
+    // weights, where high == 0 and the loop is skipped) need one probe at
+    // the bound itself (fixes the reference's (None, None) crash path).
+    if (is_path_possible(high, n, m, weights, W, tmp.data())) {
+      best_D = high;
+      best = tmp;
+    }
+  }
   if (best_D < 0) return -1.0;
   std::copy(best.begin(), best.end(), path_out);
   return best_D;

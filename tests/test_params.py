@@ -330,3 +330,114 @@ class TestLoRAMerge:
         A, B = sd[f"{stem}.lora_A.weight"], sd[f"{stem}.lora_B.weight"]
         want = np.asarray(base) + (8.0 / r) * (B @ A).T
         np.testing.assert_allclose(np.asarray(new), want, rtol=1e-5)
+
+
+class TestLoRAKohyaAndConv:
+    """Review r3c: kohya-format keys (underscore stems), conv LoRAs, and
+    text-encoder key skipping."""
+
+    def _unet_params(self):
+        cfg = configs.TINY_UNET
+        unet = UNet2DCondition(cfg)
+        s = cfg.sample_size
+        return cfg, unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)), jnp.array(0),
+            jnp.zeros((1, 7, cfg.cross_attention_dim)),
+        )
+
+    def test_kohya_keys_merge(self):
+        from aid_tpu.models.params import merge_lora
+
+        cfg, params = self._unet_params()
+        inner = cfg.block_out_channels[0]
+        rng = np.random.default_rng(1)
+        r = 4
+        stem = "lora_unet_down_blocks_0_attentions_0_transformer_blocks_0_attn1_to_q"
+        sd = {
+            f"{stem}.lora_down.weight": rng.normal(size=(r, inner)).astype(np.float32),
+            f"{stem}.lora_up.weight": rng.normal(size=(inner, r)).astype(np.float32),
+            f"{stem}.alpha": np.float32(2.0),
+            # text-encoder LoRA keys must be skipped, not crash
+            "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_down.weight":
+                rng.normal(size=(r, 8)).astype(np.float32),
+            "lora_te_text_model_encoder_layers_0_self_attn_q_proj.lora_up.weight":
+                rng.normal(size=(8, r)).astype(np.float32),
+        }
+        merged = merge_lora(params, sd, scale=1.0)
+        base = params["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+        new = merged["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_q"]["kernel"]
+        A = sd[f"{stem}.lora_down.weight"]
+        B = sd[f"{stem}.lora_up.weight"]
+        want = np.asarray(base) + (2.0 / r) * (B @ A).T
+        np.testing.assert_allclose(np.asarray(new), want, rtol=1e-5)
+
+    def test_conv_lora_4d_factors(self):
+        from aid_tpu.models.params import merge_lora
+
+        cfg, params = self._unet_params()
+        node = params["params"]["down_blocks_0_resnets_0"]["conv1"]
+        kh, kw, cin, cout = np.asarray(node["kernel"]).shape
+        rng = np.random.default_rng(2)
+        r = 2
+        A = rng.normal(size=(r, cin, kh, kw)).astype(np.float32)
+        B = rng.normal(size=(cout, r, 1, 1)).astype(np.float32)
+        sd = {
+            "lora_unet_down_blocks_0_resnets_0_conv1.lora_down.weight": A,
+            "lora_unet_down_blocks_0_resnets_0_conv1.lora_up.weight": B,
+        }
+        merged = merge_lora(params, sd, scale=1.0)
+        delta = (B.reshape(cout, r) @ A.reshape(r, -1)).reshape(cout, cin, kh, kw)
+        want = np.asarray(node["kernel"]) + delta.transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(
+            np.asarray(merged["params"]["down_blocks_0_resnets_0"]["conv1"]["kernel"]),
+            want, rtol=1e-4)
+
+    def test_merge_shares_untouched_leaves(self):
+        """No deepcopy: unmodified leaves must be the SAME array objects."""
+        from aid_tpu.models.params import merge_lora
+
+        cfg, params = self._unet_params()
+        inner = cfg.block_out_channels[0]
+        r = 2
+        sd = {
+            "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_A.weight":
+                np.zeros((r, inner), np.float32),
+            "unet.down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.lora_B.weight":
+                np.zeros((inner, r), np.float32),
+        }
+        merged = merge_lora(params, sd)
+        a = params["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]
+        b = merged["params"]["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]["to_k"]["kernel"]
+        assert a is b
+
+
+class TestTextualInversionFormats:
+    def _text_params(self, dim=16, vocab=32):
+        return {"params": {"token_embedding": {"embedding": np.zeros((vocab, dim), np.float32)}}}
+
+    class _Tok:
+        def __init__(self):
+            self.added = []
+
+        def add_tokens(self, token, ids):
+            self.added.append((token, ids))
+
+    def test_emb_params_layout_with_token(self):
+        from aid_tpu.models.params import load_textual_inversion
+
+        tok = self._Tok()
+        ckpt = {"emb_params": np.ones((2, 16), np.float32)}
+        out, n = load_textual_inversion(self._text_params(), tok, ckpt,
+                                        token="easynegative")
+        assert n == 2
+        assert tok.added == [("easynegative", [32, 33])]
+        assert out["params"]["token_embedding"]["embedding"].shape == (34, 16)
+
+    def test_single_unknown_key_uses_token(self):
+        from aid_tpu.models.params import load_textual_inversion
+
+        tok = self._Tok()
+        ckpt = {"whatever_key": np.ones((1, 16), np.float32)}
+        out, n = load_textual_inversion(self._text_params(), tok, ckpt,
+                                        token="<trigger>")
+        assert n == 1 and tok.added == [("<trigger>", [32])]

@@ -228,3 +228,39 @@ class TestReviewR3bFixes:
         assert compute_gini([0.0, 0.0, 0.0]) == 0.0
         s, c, m = compute_smoothness_and_consistency([0.0, 0.0])
         assert s == 1.0 and c == 0.0 and m == 0.0
+
+
+class TestDPFullRangeSpread:
+    """Review r3c: instances whose minimal feasible spread equals the full
+    weight range (incl. all-equal weights) must solve, not report
+    infeasible. The reference returns (None, None) here and crashes
+    downstream — documented deviation."""
+
+    def _all_equal(self, m=4, n=3, w0=0.3):
+        w = np.full((m, m), -1.0)
+        for i in range(m - 1):
+            for j in range(i + 1, m):
+                w[i, j] = w0
+        return w
+
+    def test_all_equal_weights_python(self):
+        from aid_tpu.prior.beta import _find_minimal_spread_and_path_py
+
+        D, path = _find_minimal_spread_and_path_py(3, 4, self._all_equal())
+        assert D == 0.0 and path is not None and path[0] == 0 and path[-1] == 3
+
+    def test_all_equal_weights_dispatch(self):
+        from aid_tpu.prior.beta import find_minimal_spread_and_path
+
+        D, path = find_minimal_spread_and_path(3, 4, self._all_equal())
+        assert D == 0.0 and path is not None
+
+    def test_forced_full_range_path(self):
+        from aid_tpu.prior.beta import (_find_minimal_spread_and_path_py,
+                                        find_minimal_spread_and_path)
+
+        w = np.full((3, 3), -1.0)
+        w[0, 1], w[1, 2], w[0, 2] = 0.0, 1.0, 0.5
+        for solver in (find_minimal_spread_and_path, _find_minimal_spread_and_path_py):
+            D, path = solver(3, 3, w)
+            assert path == [0, 1, 2] and abs(D - 1.0) < 1e-9

@@ -81,3 +81,42 @@ def test_v_prediction_roundtrip():
         v = jnp.sqrt(a_t) * eps - jnp.sqrt(1 - a_t) * x0
         x, _ = sch.step(state, v, jnp.asarray(i), x)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-3, atol=1e-3)
+
+
+class TestEulerInitNoiseSigma:
+    """diffusers parity (review r3c): init_noise_sigma is max_sigma for
+    linspace/trailing and sqrt(max^2+1) only for leading."""
+
+    def _sigma0(self, spacing):
+        import dataclasses
+
+        from aid_tpu.schedulers import EulerDiscreteScheduler, SchedulerConfig
+
+        s = EulerDiscreteScheduler(SchedulerConfig(timestep_spacing=spacing))
+        st = s.init(10)
+        return float(st.sigmas[0]), st.init_noise_sigma
+
+    def test_leading_uses_sqrt(self):
+        s0, init = self._sigma0("leading")
+        assert abs(init - (s0 ** 2 + 1) ** 0.5) < 1e-5
+
+    def test_trailing_uses_max(self):
+        s0, init = self._sigma0("trailing")
+        assert abs(init - s0) < 1e-5
+
+    def test_linspace_uses_max(self):
+        s0, init = self._sigma0("linspace")
+        assert abs(init - s0) < 1e-5
+
+
+def test_loader_reads_use_karras_sigmas(tmp_path):
+    import json as _json
+
+    from aid_tpu.models.loader import load_scheduler
+
+    (tmp_path / "scheduler").mkdir()
+    with open(tmp_path / "scheduler" / "scheduler_config.json", "w") as f:
+        _json.dump({"_class_name": "EulerDiscreteScheduler",
+                    "use_karras_sigmas": True}, f)
+    s = load_scheduler(str(tmp_path), "auto")
+    assert s.use_karras_sigmas is True
