@@ -38,7 +38,11 @@ def fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
     ch, cw = H // 2, W // 2
     row = jnp.arange(H)[:, None]
     col = jnp.arange(W)[None, :]
-    low = (jnp.abs(row - ch) <= threshold) & (jnp.abs(col - cw) <= threshold)
+    # diffusers fourier_filter slices [c-threshold : c+threshold) — a
+    # 2t x 2t block (half-open), NOT |.| <= t (which would scale one extra
+    # frequency row/column per axis and deviate from the parity target)
+    low = ((row >= ch - threshold) & (row < ch + threshold)
+           & (col >= cw - threshold) & (col < cw + threshold))
     mask = jnp.where(low, scale, 1.0)[None, :, :, None]
     freq = freq * mask
     freq = jnp.fft.ifftshift(freq, axes=(1, 2))

@@ -45,11 +45,13 @@ class SafetyChecker(nn.Module):
             b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-8)
             return a @ b.T
 
+        # diffusers semantics: the caller ``adjustment`` applies ONLY to the
+        # special-care scores; concept scores get just the 0.01 stricter
+        # threshold for images that triggered special care
         special_scores = cos(image_embeds, specials) - s_thresh + adjustment
         has_special = jnp.any(special_scores > 0, axis=-1)
-        # images triggering special care get a stricter concept threshold
         adj = jnp.where(has_special, 0.01, 0.0)[:, None]
-        concept_scores = cos(image_embeds, concepts) - c_thresh + adjustment + adj
+        concept_scores = cos(image_embeds, concepts) - c_thresh + adj
         return jnp.any(concept_scores > 0, axis=-1)
 
 

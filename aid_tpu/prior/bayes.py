@@ -130,7 +130,9 @@ def bayesian_prior_selection(
         warmup_ratio=warmup_ratio, early=early, late=late,
     )
     distances = lpips_fn(mid)
-    init_smoothness = smoothness_of(mid)
+    # reuse the distances just computed (smoothness_of would re-run the
+    # full LPIPS forward on the same frames)
+    init_smoothness, _, _ = compute_smoothness_and_consistency(distances)
     large_alpha_prior = bool(distances[0] < distances[1])
 
     def get_smoothness(alpha: float, beta: float) -> float:

@@ -38,7 +38,12 @@ def _load_array(path: str, key: Optional[str] = None) -> np.ndarray:
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(obj, "numpy"):
         return obj.float().numpy()
-    return np.asarray(obj[key] if key else next(iter(obj.values())))
+    entry = obj[key] if key else next(iter(obj.values()))
+    if hasattr(entry, "numpy"):
+        # dict-of-tensors export: same .float() upcast as the bare-tensor
+        # branch (np.asarray would raise on bf16 entries)
+        return entry.float().numpy()
+    return np.asarray(entry)
 
 
 def load_reference_latents(path: str, key: Optional[str] = None) -> jnp.ndarray:

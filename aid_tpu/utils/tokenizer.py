@@ -127,9 +127,12 @@ class CLIPBPETokenizer:
             segments = [seg for seg in re.split(pattern, text) if seg]
         else:
             segments = [text]
-        # ASCII form of the CLIP tokenization regex (the original uses \p{L}
-        # unicode classes; prompts are lowercased ASCII after byte-encoding)
-        pat = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+")
+        # CLIP tokenization regex with Python-re unicode classes: [^\W\d_]+
+        # == \p{L}+ (letters incl. accents/CJK), \d == \p{N}, and
+        # (?:[^\s\w]|_)+ == [^\s\p{L}\p{N}]+ (symbol runs incl. underscore).
+        # The regex runs on RAW text before byte-encoding, so an ASCII-only
+        # form would mis-split non-ASCII prompts ('café' -> 'caf'+'é').
+        pat = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+")
         ids = [self.bos_id]
         for seg in segments:
             if seg in self.added_tokens:

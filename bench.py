@@ -154,7 +154,8 @@ def main():
             round(frames_per_sec / A100_BASELINE_BRACKET[0], 2),
         ],
         # PRIMARY measured comparison: same chip running the reference's
-        # own five-3-frame-runs workflow (0.114 frames/s, PERF.md r2)
+        # own five-3-frame-runs workflow (divisor constant above: 0.1508
+        # frames/s, re-measured with the round-3 kernels)
         "vs_same_chip_reference_workflow": round(
             frames_per_sec / SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC, 3),
         # BASELINE.json's second metric: p50 full-sequence latency

@@ -399,3 +399,13 @@ class TestParamCache:
         self._write_tiny_text_encoder(ckpt)
         _, p1 = loader.load_text_encoder(str(ckpt))
         assert not list(tmp_path.glob("cache*"))
+
+
+class TestUnicodeTokenization:
+    def test_accented_word_is_one_token_run(self, tiny_tokenizer):
+        """CLIP's regex matches unicode letters as one word; an ASCII-only
+        regex split 'café' into 'caf'+'é', making it tokenize identically
+        to 'caf é' (review r3d)."""
+        a = list(tiny_tokenizer("café")[0])
+        b = list(tiny_tokenizer("caf é")[0])
+        assert a != b

@@ -334,3 +334,43 @@ class TestPooledEOSPosition:
         hs, pooled, _ = model.apply(params, ids)
         np.testing.assert_allclose(np.asarray(pooled), np.asarray(hs[:, 1]),
                                    rtol=1e-6)
+
+
+class TestSafetyAdjustment:
+    def test_adjustment_applies_to_special_scores_only(self, rngs):
+        """diffusers semantics (review r3d): a large caller adjustment must
+        not shift the concept scores — random-weight cosines sit far below
+        the ones-initialized thresholds, so no image should flag."""
+        from aid_tpu.models.safety import SafetyChecker
+
+        model = SafetyChecker(configs.TINY_CLIP_VISION)
+        px = jax.random.normal(jax.random.PRNGKey(0), (2, configs.TINY_CLIP_VISION.image_size,
+                                                       configs.TINY_CLIP_VISION.image_size, 3))
+        params = model.init(rngs, px)
+        flags = model.apply(params, px, adjustment=10.0)
+        assert not bool(np.asarray(flags).any())
+
+
+class TestFreeUFourierBlock:
+    def test_matches_diffusers_slicing(self):
+        """diffusers masks the HALF-OPEN [c-t : c+t) block (2t x 2t); the
+        old |.| <= t mask scaled one extra row/column per axis (review
+        r3d). Pin exact equivalence with the diffusers slicing on random
+        input for several thresholds/scales."""
+        from aid_tpu.models.freeu import fourier_filter
+
+        def ref_filter(x, t, scale):
+            H, W = x.shape[1:3]
+            freq = np.fft.fftshift(np.fft.fftn(x, axes=(1, 2)), axes=(1, 2))
+            crow, ccol = H // 2, W // 2
+            mask = np.ones((1, H, W, 1), np.float32)
+            mask[:, crow - t:crow + t, ccol - t:ccol + t] = scale
+            return np.fft.ifftn(
+                np.fft.ifftshift(freq * mask, axes=(1, 2)), axes=(1, 2)).real
+
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3)))
+        for t in (1, 2):
+            for scale in (0.0, 0.5, 1.2):
+                got = np.asarray(fourier_filter(jnp.asarray(x, jnp.float32), t, scale))
+                np.testing.assert_allclose(got, ref_filter(x, t, scale),
+                                           atol=1e-5, err_msg=f"t={t} s={scale}")
