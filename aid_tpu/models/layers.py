@@ -165,8 +165,9 @@ def conv_lowering(hw: int, cin: int) -> str:
 _PALLAS_WIDE_CONV = True
 
 # Routing flag for the fused GN+SiLU+packed-conv resnet prologue
-# (ops.conv.conv3x3_gnsilu). Default OFF until measured on hardware
-# (tools/opt_probe3.py gnpk); flipped per-class in gn_conv_fused.
+# (ops.conv.conv3x3_gnsilu). Measured on v5e 2026-08-18 (PERF.md round-3b,
+# r3gnpk_*): the fused kernel LOSES to the unfused chain at every class
+# except a tie at ch640@128² — stays OFF; kept as a measured experiment.
 _FUSED_GN_CONV = False
 
 

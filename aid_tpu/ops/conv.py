@@ -50,15 +50,22 @@ def _kernel_packed(x0_ref, x1_ref, x2_ref, w_ref, b_ref, o_ref, *, TH: int, W: i
     dot. vs the 9-dot kernel: K=3*Cin pads to one lane-tile boundary instead
     of three (e.g. Cin=320: 960->1024 = 8 tiles vs 3x384 = 9), and the MXU
     sees 3 long-K dots per block instead of 9 short ones (less pipeline
-    drain). The concat is an in-VMEM copy of the x block (3x per dy)."""
+    drain). The concat is an in-VMEM copy of the x block (3x per dy).
+
+    The dx slices are reshaped to 2D BEFORE the lane-dim concatenate:
+    3D slices carry mismatched layout offsets from the column shift and
+    Mosaic rejects tpu.concatenate on offset-mismatched non-concat dims
+    ("result/input offset mismatch"); the 2D reshape normalizes each
+    operand's layout first (verified compiling on v5e, 2026-08-18)."""
     rows_by_dy = (x0_ref, x1_ref, x2_ref)
     cin = x0_ref.shape[-1]
     acc = None
     for dy in range(3):
         rows = rows_by_dy[dy][0]  # (TH, W+2, Cin)
         xs = jnp.concatenate(
-            [rows[:, dx:dx + W, :] for dx in range(3)], axis=-1
-        ).reshape(TH * W, 3 * cin)
+            [rows[:, dx:dx + W, :].reshape(TH * W, cin) for dx in range(3)],
+            axis=-1,
+        )
         t = jax.lax.dot_general(
             xs, w_ref[dy], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -100,9 +107,11 @@ def _kernel_packed_gnsilu(x0_ref, x1_ref, x2_ref, w_ref, b_ref, sc_ref, sh_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, (TH, W + 2, 1), 0) + i * TH + dy
         ok = col_ok & (row >= 1) & (row <= H)
         rows = jnp.where(ok, a, 0.0).astype(raw.dtype)
+        # 2D reshape before the lane concat — see _kernel_packed
         xs = jnp.concatenate(
-            [rows[:, dx:dx + W, :] for dx in range(3)], axis=-1
-        ).reshape(TH * W, 3 * cin)
+            [rows[:, dx:dx + W, :].reshape(TH * W, cin) for dx in range(3)],
+            axis=-1,
+        )
         t = jax.lax.dot_general(
             xs, w_ref[dy], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
