@@ -40,6 +40,23 @@ rescale covers the merged lane. Auto-disabled at D % 128 == 0 (VAE D=512:
 no free lane without a whole extra tile). den = sum of the same
 dtype-cast p the PV matmul consumes, which makes num/den dtype-consistent
 (the legacy path summed f32 p against a bf16-p numerator).
+
+Static-shift softmax (``static_smax``): softmax is shift-invariant, so the
+data-dependent row max only serves to keep exp() in range. Substituting a
+COMPILE-TIME shift C — ``p = exp(min(s - C, U))`` with U = 30 nats of
+clip headroom — produces the *identical* softmax (same f32 rounding class)
+whenever every row's true max logit lies in ``[C - 72, C + U]``: above
+C + U the clip flattens ratios among >e^U-dominant logits; below C - 72
+the bf16 probabilities hit their e^-87 normal floor and relative precision
+fades (f32 probabilities fade ~c-87 nats lower still). With C = 40 the
+exact window is max-logit ∈ [-32, +70] — attention logits in SD/SDXL-class
+models live within single digits of zero, so both tails are unreachable.
+What it buys: the row-max lane reduction (a full VPU pass over every
+(bq, bk) score block), the running-max compare/select chain, and the
+accumulator rescale multiplies all disappear from BOTH kernels; with
+``mxu_den`` the remaining per-element VPU work is ONE subtract+clip+exp
+pass. The knob is measured on hardware before being a default; exactness
+is fuzz-pinned vs the jnp reference in tests/test_flash_attention.py.
 """
 
 from __future__ import annotations
@@ -94,6 +111,10 @@ def _kernel(
     den_col: int,  # -1 = VPU rowsum + l scratch; else the softmax
     # normalizer rides MXU lane `den_col` of the widened PV product (see
     # module docstring "MXU-resident normalizer")
+    smax_shift: Optional[float],  # static-shift softmax constant (already
+    # in the kernel's exp domain — exp2 callers fold log2e); None = exact
+    # online row max. See module docstring "Static-shift softmax".
+    smax_clip: Optional[float],  # overflow clip for the shifted scores
 ):
     j = pl.program_id(3)
     b = pl.program_id(0)
@@ -106,7 +127,8 @@ def _kernel(
 
     @pl.when(j == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        if smax_shift is None:
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         if not mxu_den:
             l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -169,6 +191,56 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
             return rowsum, pv
+
+        if smax_shift is not None:
+            # Static-shift softmax: no row max, no m/alpha bookkeeping, no
+            # accumulator rescale — contributions just add up and finalize
+            # divides by the (MXU-lane or l-scratch) denominator.
+            shifted = jnp.minimum(s - smax_shift, smax_clip)
+            if exp_impl == "bf16":
+                p = jnp.exp(shifted.astype(jnp.bfloat16))
+                rowsum = (None if mxu_den else
+                          jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32))
+            else:
+                p = exp_fn(shifted)
+                rowsum = None if mxu_den else jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if not two_sets:
+                if not mxu_den:
+                    l_ref[0] = l_ref[0] + rowsum
+                acc_ref[0] = acc_ref[0] + pv
+            elif mode.is_fused:
+                upd0 = jnp.logical_or(in_self, in_begin)
+                upd1 = jnp.logical_or(
+                    in_self, jnp.logical_not(jnp.logical_or(in_self, in_begin))
+                )
+                w0 = jnp.where(upd0, 1.0, 0.0).astype(jnp.float32)
+                w1 = jnp.where(upd1, 1.0, 0.0).astype(jnp.float32)
+                if not mxu_den:
+                    l_ref[0] = l_ref[0] + w0 * rowsum
+                    l_ref[1] = l_ref[1] + w1 * rowsum
+                acc_ref[0] = acc_ref[0] + w0 * pv
+                acc_ref[1] = acc_ref[1] + w1 * pv
+            else:
+                # pure_outer: disjoint streams, contribution lands in the
+                # set this phase feeds
+                def update_static(i):
+                    if not mxu_den:
+                        l_ref[i] = l_ref[i] + rowsum
+                    acc_ref[i] = acc_ref[i] + pv
+
+                @pl.when(in_begin)
+                def _():
+                    update_static(0)
+
+                @pl.when(jnp.logical_not(in_begin))
+                def _():
+                    update_static(1)
+
+            return
 
         s_max = jnp.max(s, axis=-1, keepdims=True)
 
@@ -267,6 +339,11 @@ def _kernel_onepass(
     needs_mask: bool,
     unroll: int,
     den_col: int,  # -1 = VPU rowsum; else MXU-resident normalizer lane
+    smax_shift: Optional[float],  # static-shift softmax (see module
+    # docstring / _kernel): per-segment row maxima AND the cross-segment
+    # combine weights all collapse — every segment contributes at the same
+    # static scale, so num/den are plain sums over member segments
+    smax_clip: Optional[float],
 ):
     """One-pass kernel: whole packed stream resident, heads looped in-kernel.
 
@@ -336,10 +413,13 @@ def _kernel_onepass(
 
     skip = skip_ref[b] != 0
 
-    def exp_rows(sm, m):
+    def exp_of(x):
         if exp_impl == "bf16":
-            return jnp.exp((sm - m).astype(jnp.bfloat16))
-        return exp_fn(sm - m)
+            return jnp.exp(x.astype(jnp.bfloat16))
+        return exp_fn(x)
+
+    def exp_rows(sm, m):
+        return exp_of(sm - m)
 
     def score(h):
         q = q_ref[0, h]
@@ -366,8 +446,12 @@ def _kernel_onepass(
             if needs_mask:
                 col = jax.lax.broadcasted_iota(jnp.int32, (bq, width), 1)
                 s_seg = jnp.where(col + start < lens_ref[slot], s_seg, NEG_INF)
-            m_seg = jnp.max(s_seg, axis=-1, keepdims=True)
-            p_seg = exp_rows(s_seg, m_seg)
+            if smax_shift is not None:
+                m_seg = None
+                p_seg = exp_of(jnp.minimum(s_seg - smax_shift, smax_clip))
+            else:
+                m_seg = jnp.max(s_seg, axis=-1, keepdims=True)
+                p_seg = exp_rows(s_seg, m_seg)
             l_seg = (None if den_col >= 0 else
                      jnp.sum(p_seg, axis=-1, keepdims=True, dtype=jnp.float32))
             pv_seg = jax.lax.dot_general(
@@ -380,6 +464,26 @@ def _kernel_onepass(
 
         outs = []
         for members in sets:
+            if smax_shift is not None:
+                # static shift: every segment is already at the shared
+                # scale — num/den are plain sums, skip rows gate the
+                # skippable segments with a scalar select
+                num = jnp.zeros((bq, vw), jnp.float32)
+                den = None if den_col >= 0 else jnp.zeros((bq, 1), jnp.float32)
+                for i in members:
+                    _, l_seg, pv_seg = stats[i]
+                    if i in skippable:
+                        g = jnp.where(skip, 0.0, 1.0)
+                        pv_seg = pv_seg * g
+                        l_seg = None if l_seg is None else l_seg * g
+                    num = num + pv_seg
+                    if den is not None:
+                        den = den + l_seg
+                if den is None:
+                    den = num[:, den_col:den_col + 1]
+                    num = num[:, :Dp]
+                outs.append(num / jnp.maximum(den, 1e-37))
+                continue
             live = [i for i in members if i not in skippable]
             gated = [i for i in members if i in skippable]
             # m_set over the segments that actually contribute: skip rows
@@ -442,7 +546,8 @@ def _kernel_onepass(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d",
-                     "exp_impl", "short_unroll", "onepass_max", "mxu_den"),
+                     "exp_impl", "short_unroll", "onepass_max", "mxu_den",
+                     "static_smax"),
 )
 def flash_interpolated_attention(
     q: jnp.ndarray,  # (B, H, Sq, D)
@@ -471,6 +576,12 @@ def flash_interpolated_attention(
     mxu_den: bool = True,  # ride the softmax normalizer on an MXU output
     # lane (ones-column in V) instead of a VPU rowsum reduction; auto-
     # disabled when D % 128 == 0 (no free lane without a whole extra tile)
+    static_smax: Optional[float] = None,  # static-shift softmax constant C
+    # (nats, pre-scale-fold): p = exp(min(s*scale - C, 30)). None = exact
+    # online/segment row max. Output is numerically the SAME softmax while
+    # every row's max scaled logit lies in [C-72, C+30] (see module
+    # docstring) — C=40 covers [-32, +70], unreachable in SD/SDXL-class
+    # attention. Kills the row-max VPU pass and all m/l rescale work.
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -620,13 +731,20 @@ def flash_interpolated_attention(
                        if H % g == 0 and g * Ltot <= _ONEPASS_MAX_RESIDENT_COLS), None)
     else:
         hgroup = None
+    # static-shift constants, folded into the kernel's exp domain (exp2
+    # kernels work in log2 units, so the shift and clip fold log2e too)
+    _fold = 1.4426950408889634 if exp_impl == "exp2" else 1.0
+    smax_shift = None if static_smax is None else float(static_smax) * _fold
+    smax_clip = None if static_smax is None else 30.0 * _fold
+
     if hgroup is not None:
-        kernel_scale1 = float(scale) * (1.4426950408889634 if exp_impl == "exp2" else 1.0)
+        kernel_scale1 = float(scale) * _fold
         k1 = functools.partial(
             _kernel_onepass, mode=mode, scale=kernel_scale1,
             n_self_cols=n_self * block_k, n_begin_cols=n_begin * block_k,
             H=hgroup, exp_impl=exp_impl, needs_mask=needs_mask,
             unroll=short_unroll, den_col=den_col,
+            smax_shift=smax_shift, smax_clip=smax_clip,
         )
         q_spec1 = pl.BlockSpec((1, hgroup, block_q, Dp), lambda b, g, i, *_: (b, g, i, 0))
         kv_spec1 = pl.BlockSpec((1, hgroup, Ltot, Dp), lambda b, g, i, *_: (b, g, 0, 0))
@@ -656,7 +774,7 @@ def flash_interpolated_attention(
     n_m = 2 if (mode.is_outer and not mode.is_fused) else 1
     # exp2 strategy: fold log2(e) into the score scale so in-kernel
     # 2^(s-m) equals e^(s/log2e - m/log2e) — bit-for-bit the same softmax
-    kernel_scale = float(scale) * (1.4426950408889634 if exp_impl == "exp2" else 1.0)
+    kernel_scale = float(scale) * _fold
     kernel = functools.partial(
         _kernel,
         mode=mode,
@@ -668,6 +786,8 @@ def flash_interpolated_attention(
         needs_mask=needs_mask,
         exp_impl=exp_impl,
         den_col=den_col,
+        smax_shift=smax_shift,
+        smax_clip=smax_clip,
     )
 
     q_spec = pl.BlockSpec((1, 1, block_q, Dp), lambda b, h, i, j, *_: (b, h, i, 0))
@@ -681,8 +801,10 @@ def flash_interpolated_attention(
         out_specs=q_spec,
         scratch_shapes=[
             # running max: shared for self/fused (coupled via the self
-            # segment), per-set for pure outer (disjoint streams)
-            pltpu.VMEM((n_m, block_q, LANES), jnp.float32),
+            # segment), per-set for pure outer (disjoint streams); unused
+            # with the static shift (minimal dummy)
+            pltpu.VMEM((1, 8, LANES) if smax_shift is not None else
+                       (n_m, block_q, LANES), jnp.float32),
             # l: unused with the MXU-resident normalizer (minimal dummy —
             # the normalizer rides acc lane den_col instead)
             pltpu.VMEM((1, 8, LANES) if den_col >= 0 else

@@ -173,13 +173,15 @@ def test_fuzz_random_shapes(seed):
     pad_d = bool(rng.choice([False, True]))
     exp_impl = str(rng.choice(["f32", "exp2"]))  # bf16 covered separately (looser tol)
     unroll = int(rng.choice([1, 2, 4]))  # short-KV head-loop unroll
+    smax = float(rng.choice([0.0, 40.0])) or None  # static-shift softmax
     want = interpolated_attention(q, k, v, coef, mode)
     got = flash_interpolated_attention(q, k, v, coef, mode, block_q=bq, block_k=bk,
                                        interpret=True, pad_d=pad_d, exp_impl=exp_impl,
-                                       short_unroll=unroll)
+                                       short_unroll=unroll, static_smax=smax)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4,
-        err_msg=f"B{B} H{H} S{S} L{L} D{D} {mode} bq{bq} bk{bk} pad{pad_d} {exp_impl} u{unroll}")
+        err_msg=f"B{B} H{H} S{S} L{L} D{D} {mode} bq{bq} bk{bk} pad{pad_d} "
+                f"{exp_impl} u{unroll} smax{smax}")
 
 
 @pytest.mark.parametrize("mode", ["self", "fused_outer"])
@@ -204,6 +206,77 @@ def test_exp_impl_bf16_short_path_masked(mode):
     got = flash_interpolated_attention(q, k, v, coef, mode,
                                        interpret=True, exp_impl="bf16")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("onepass_max", [3072, 0])
+def test_static_smax_matches_reference(mode, onepass_max):
+    """Static-shift softmax (static_smax=40) is the SAME softmax — not an
+    approximation — for row maxes inside [-32, +70]; pinned vs the jnp
+    reference at the standard tolerance on a masked non-aligned shape
+    through BOTH kernels."""
+    q, k, v, coef = _data(3, 2, 96, 200, 64, seed=21)
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(
+        q, k, v, coef, mode, block_q=128, block_k=128, interpret=True,
+        static_smax=40.0, onepass_max=onepass_max)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_static_smax_skip_endpoints():
+    """Skip rows (endpoint frames) stay exactly vanilla under the static
+    shift in both kernels."""
+    from aid_tpu.ops.attention import _softmax_attn
+    B, H, S, D = 4, 2, 128, 64
+    q, k, v, _ = _data(B, H, S, S, D, seed=22)
+    coef = jnp.array([0.0, 0.3, 0.8, 1.0])
+    skip = jnp.array([True, False, False, True])
+    want = interpolated_attention(q, k, v, coef, "fused_outer")
+    want = jnp.where(skip[:, None, None, None],
+                     _softmax_attn(q, k, v, D ** -0.5), want)
+    for onepass_max in (3072, 0):
+        got = flash_interpolated_attention(
+            q, k, v, coef, "fused_outer", skip_endpoints=skip,
+            block_q=128, block_k=128, interpret=True,
+            static_smax=40.0, onepass_max=onepass_max)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_static_smax_window_edges():
+    """Inside the window (row max ~ -25) the static shift matches the
+    reference; far OUTSIDE it (row max >> +70, reachable only with
+    adversarial inputs) the +30-nat clip flattens top ratios — the result
+    deviates but stays finite (no inf/NaN), which is the documented
+    graceful-failure contract."""
+    rng = np.random.default_rng(23)
+    B, H, S, D = 2, 2, 128, 64
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    coef = jnp.asarray([0.25, 0.75], jnp.float32)
+
+    # cold: every logit biased to exactly -25 +/- N(0, 0.8) via a dedicated
+    # bias dimension (q's last dim = 1, k's = -25), so row maxes sit at
+    # ~-24, inside the [-32, +70] window — still exact
+    q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    qc = jnp.concatenate([q[..., :-1] * 0.1, jnp.ones_like(q[..., :1])], -1)
+    kc = jnp.concatenate([k[..., :-1], jnp.full_like(k[..., :1], -25.0)], -1)
+    base = interpolated_attention(qc, kc, v, coef, "fused_outer", scale=1.0)
+    got = flash_interpolated_attention(qc, kc, v, coef, "fused_outer",
+                                       interpret=True, static_smax=40.0,
+                                       scale=1.0, onepass_max=0,
+                                       block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)
+
+    # hot: row maxes in the hundreds -> clipped, finite, no NaN
+    qh = q * 40.0
+    kh = k + qh * 0.1
+    goth = flash_interpolated_attention(qh, kh, v, coef, "fused_outer",
+                                        interpret=True, static_smax=40.0,
+                                        onepass_max=0, block_q=128, block_k=128)
+    assert bool(jnp.all(jnp.isfinite(goth)))
 
 
 def test_vae_wide_head_shape_numerics():
