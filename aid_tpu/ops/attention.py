@@ -207,3 +207,24 @@ def interpolated_attention(
     out_end = _softmax_attn(q, ke, ve, scale)
     out = (1.0 - c) * out_begin.astype(jnp.float32) + c * out_end.astype(jnp.float32)
     return out.astype(q.dtype)
+
+
+def attention_logit_window(q: jnp.ndarray, k: jnp.ndarray,
+                           scale: float | None = None) -> tuple:
+    """Row-max logit statistics for static-shift softmax calibration.
+
+    Returns ``(min_row_max, max_row_max)`` of the scaled attention logits
+    q @ k^T * scale — the quantities that must lie inside the flash
+    kernel's static-shift window ``[C - 72, C + 30]`` (C = ``static_smax``,
+    default 40 -> window [-32, +70]) for the static shift to be the exact
+    softmax. PARITY.md's real-checkpoint runbook calls this per attention
+    layer on captured activations; any real SD/SDXL logit sits single
+    digits from zero, but the check makes that an observation instead of
+    an assumption. Debug/calibration only — materializes the logits.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("...qd,...kd->...qk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    row_max = jnp.max(s, axis=-1)
+    return jnp.min(row_max), jnp.max(row_max)

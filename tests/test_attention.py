@@ -124,3 +124,19 @@ def test_bfloat16_runs(qkv):
     )
     assert out.dtype == jnp.bfloat16
     assert out.shape == (B, H, S, D)
+
+
+def test_attention_logit_window_stats():
+    """Calibration helper: returns (min,max) of per-row max scaled logits
+    (the static-shift softmax window check in PARITY.md)."""
+    import numpy as np
+    from aid_tpu.ops.attention import attention_logit_window
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 2, 32, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, 48, 16)).astype(np.float32))
+    lo, hi = attention_logit_window(q, k)
+    s = (np.asarray(q, np.float64) @ np.swapaxes(np.asarray(k, np.float64), -1, -2)) * 16 ** -0.5
+    rm = s.max(-1)
+    np.testing.assert_allclose(float(lo), rm.min(), rtol=1e-5)
+    np.testing.assert_allclose(float(hi), rm.max(), rtol=1e-5)

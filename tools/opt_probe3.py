@@ -449,6 +449,33 @@ def probe_mxuden():
                       flush=True)
 
 
+def probe_smax():
+    """A/B the static-shift softmax (static_smax=40: no row-max pass, no
+    m/l rescale) vs the exact online/segment row max, at the four hot SDXL
+    attention shapes, through the ROUTED kernel for each (one-pass at
+    Ltot<=3072, online main kernel above)."""
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    cases = [
+        (20, 1024, "self", 1), (20, 1024, "fused_outer", 3),
+        (10, 4096, "self", 1), (10, 4096, "fused_outer", 3),
+    ]
+    for (h, s, mode, mult) in cases:
+        q, k, v, coef = _attn_inputs(B, h, s, s, 64)
+        flops = 4 * B * h * s * (s * mult) * 64
+        for sm in (40.0, None):
+            def f(c, k=k, v=v, coef=coef, mode=mode, sm=sm):
+                return flash_interpolated_attention(
+                    c, k, v, coef, mode, static_smax=sm,
+                ) * 1.0 + c * 0.0
+            name = f"r3sx_{mode}{s}_h{h}_static{int(sm is not None)}"
+            try:
+                bench(name, f, q, flops)
+            except Exception as e:
+                print(json.dumps({"probe": name, "error": repr(e)[:160]}),
+                      flush=True)
+
+
 def probe_gnpk():
     """Fused GN+SiLU+packed-conv kernel vs the unfused chain per class.
     Compares against r3gn_gnsiluconv (the current routed chain)."""
@@ -596,6 +623,7 @@ PROBES = {
     "convpk": probe_convpk,
     "gnpk": probe_gnpk,
     "mxuden": probe_mxuden,
+    "smax": probe_smax,
     "flash": probe_flash,
     "cross": probe_cross,
     "fwd": probe_fwd,
