@@ -576,12 +576,19 @@ def flash_interpolated_attention(
     mxu_den: bool = True,  # ride the softmax normalizer on an MXU output
     # lane (ones-column in V) instead of a VPU rowsum reduction; auto-
     # disabled when D % 128 == 0 (no free lane without a whole extra tile)
-    static_smax: Optional[float] = None,  # static-shift softmax constant C
-    # (nats, pre-scale-fold): p = exp(min(s*scale - C, 30)). None = exact
-    # online/segment row max. Output is numerically the SAME softmax while
-    # every row's max scaled logit lies in [C-72, C+30] (see module
-    # docstring) — C=40 covers [-32, +70], unreachable in SD/SDXL-class
-    # attention. Kills the row-max VPU pass and all m/l rescale work.
+    static_smax: Optional[float] | str = "auto",  # static-shift softmax
+    # constant C (nats, pre-scale-fold): p = exp(min(s*scale - C, 30)).
+    # None = exact online/segment row max. Output is numerically the SAME
+    # softmax while every row's max scaled logit lies in [C-72, C+30] (see
+    # module docstring) — C=40 covers [-32, +70], unreachable in
+    # SD/SDXL-class attention. Kills the row-max VPU pass and all m/l
+    # rescale work. "auto" applies the hardware-measured routing
+    # (tools/opt3_results.jsonl r3sx_*): C=40 on the streaming main kernel
+    # (wins 9-11% at S=4096: self 4.40 vs 4.85 ms, fused 12.87 vs 14.38)
+    # and on one-pass non-self modes (fused@1024 1.89 vs 1.97); exact row
+    # max on one-pass SELF, where the shift measured 10% SLOWER (the
+    # one-pass self path has no rescale chain to delete — segment maxes
+    # are computed once — so the clip pass is pure overhead there).
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -731,6 +738,9 @@ def flash_interpolated_attention(
                        if H % g == 0 and g * Ltot <= _ONEPASS_MAX_RESIDENT_COLS), None)
     else:
         hgroup = None
+    if static_smax == "auto":
+        # measured routing — see the parameter docstring above
+        static_smax = None if (hgroup is not None and mode == AttnMode.SELF) else 40.0
     # static-shift constants, folded into the kernel's exp domain (exp2
     # kernels work in log2 units, so the shift and clip fold log2e too)
     _fold = 1.4426950408889634 if exp_impl == "exp2" else 1.0

@@ -173,7 +173,9 @@ def test_fuzz_random_shapes(seed):
     pad_d = bool(rng.choice([False, True]))
     exp_impl = str(rng.choice(["f32", "exp2"]))  # bf16 covered separately (looser tol)
     unroll = int(rng.choice([1, 2, 4]))  # short-KV head-loop unroll
-    smax = float(rng.choice([0.0, 40.0])) or None  # static-shift softmax
+    # static-shift softmax: explicit off / explicit C / the routed default
+    smax = {"none": None, "40": 40.0, "auto": "auto"}[
+        str(rng.choice(["none", "40", "auto"]))]
     want = interpolated_attention(q, k, v, coef, mode)
     got = flash_interpolated_attention(q, k, v, coef, mode, block_q=bq, block_k=bk,
                                        interpret=True, pad_d=pad_d, exp_impl=exp_impl,
