@@ -55,8 +55,12 @@ What it buys: the row-max lane reduction (a full VPU pass over every
 (bq, bk) score block), the running-max compare/select chain, and the
 accumulator rescale multiplies all disappear from BOTH kernels; with
 ``mxu_den`` the remaining per-element VPU work is ONE subtract+clip+exp
-pass. The knob is measured on hardware before being a default; exactness
-is fuzz-pinned vs the jnp reference in tests/test_flash_attention.py.
+pass. The kernel-level default is ``None`` (exact for arbitrary inputs);
+the model dispatch path (ops/attention.py dispatch_attention) opts into
+``"auto"`` because SD/SDXL attention logits are architecturally bounded —
+``attention_logit_window`` calibrates that assumption on real activations.
+Exactness is fuzz-pinned vs the jnp reference in
+tests/test_flash_attention.py; incompatible with ``exp_impl="bf16"``.
 """
 
 from __future__ import annotations
@@ -576,19 +580,26 @@ def flash_interpolated_attention(
     mxu_den: bool = True,  # ride the softmax normalizer on an MXU output
     # lane (ones-column in V) instead of a VPU rowsum reduction; auto-
     # disabled when D % 128 == 0 (no free lane without a whole extra tile)
-    static_smax: Optional[float] | str = "auto",  # static-shift softmax
+    static_smax: Optional[float] | str = None,  # static-shift softmax
     # constant C (nats, pre-scale-fold): p = exp(min(s*scale - C, 30)).
-    # None = exact online/segment row max. Output is numerically the SAME
-    # softmax while every row's max scaled logit lies in [C-72, C+30] (see
-    # module docstring) — C=40 covers [-32, +70], unreachable in
-    # SD/SDXL-class attention. Kills the row-max VPU pass and all m/l
-    # rescale work. "auto" applies the hardware-measured routing
+    # None (the DEFAULT — the kernel is exact for arbitrary inputs) = exact
+    # online/segment row max. Output is numerically the SAME softmax while
+    # every row's max scaled logit lies in [C-72, C+30] (see module
+    # docstring) — C=40 covers [-32, +70]. Kills the row-max VPU pass and
+    # all m/l rescale work. "auto" applies the hardware-measured routing
     # (tools/opt3_results.jsonl r3sx_*): C=40 on the streaming main kernel
     # (wins 9-11% at S=4096: self 4.40 vs 4.85 ms, fused 12.87 vs 14.38)
     # and on one-pass non-self modes (fused@1024 1.89 vs 1.97); exact row
     # max on one-pass SELF, where the shift measured 10% SLOWER (the
     # one-pass self path has no rescale chain to delete — segment maxes
     # are computed once — so the clip pass is pure overhead there).
+    # "auto" is opted into by dispatch_attention (the model path), where
+    # logits are architecturally bounded (attention_logit_window calibrates
+    # the assumption) — NOT here: a library-level default would silently
+    # violate the exactness contract for out-of-window inputs (VERDICT r3
+    # weak #1). Incompatible with exp_impl="bf16": exp(bf16(s-40)) at
+    # operand magnitude ~40 quantizes at 0.125-nat steps (~13% per-prob
+    # error); "auto" resolves to None under bf16, an explicit C raises.
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -609,6 +620,19 @@ def flash_interpolated_attention(
     interpolation.py:627-630).
     """
     mode = AttnMode(mode)
+    if isinstance(static_smax, str) and static_smax != "auto":
+        raise ValueError(
+            f"static_smax must be None, a float, or 'auto'; got {static_smax!r}")
+    if static_smax is not None and exp_impl == "bf16":
+        # exp(bf16(s - C)) at operand magnitude ~C quantizes at ~0.125-nat
+        # steps — static shift and bf16 exp are numerically incompatible.
+        if static_smax == "auto":
+            static_smax = None
+        else:
+            raise ValueError(
+                "static_smax is incompatible with exp_impl='bf16': the bf16 "
+                "cast of the shifted logit (magnitude ~C) loses ~0.125 nats "
+                "per probability; use exp_impl='f32'/'exp2' or static_smax=None")
     # NOTE: a no-transpose (B,S,H,D) layout was evaluated and rejected —
     # Mosaic forbids head-sliced blocks (last two block dims must be
     # (div 8, div 128) or match the array); see PERF.md.

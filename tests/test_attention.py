@@ -140,3 +140,88 @@ def test_attention_logit_window_stats():
     rm = s.max(-1)
     np.testing.assert_allclose(float(lo), rm.min(), rtol=1e-5)
     np.testing.assert_allclose(float(hi), rm.max(), rtol=1e-5)
+
+
+class TestDispatchForceVanilla:
+    """force_vanilla on the xla path (VERDICT r3 weak #6): realized by the
+    duplicated-KV endpoint substitution — ONE interpolated evaluation per
+    call, never interpolated+vanilla double-compute-and-select."""
+
+    @pytest.mark.parametrize(
+        "mode", ["pure_outer", "fused_outer", "pure_inner", "fused_inner"]
+    )
+    def test_reduces_to_vanilla(self, qkv, mode):
+        from aid_tpu.ops.attention import dispatch_attention
+
+        q, k, v, coef = map(jnp.asarray, qkv)
+        van = attention(q, k, v)
+        on = dispatch_attention(q, k, v, coef, mode, backend="xla",
+                                force_vanilla=jnp.asarray(True))
+        np.testing.assert_allclose(np.asarray(on), np.asarray(van),
+                                   rtol=2e-5, atol=2e-5)
+        off = dispatch_attention(q, k, v, coef, mode, backend="xla",
+                                 force_vanilla=jnp.asarray(False))
+        want = interpolated_attention(q, k, v, coef, mode)
+        np.testing.assert_allclose(np.asarray(off), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_explicit_endpoints(self, qkv):
+        from aid_tpu.ops.attention import dispatch_attention
+
+        q, k, v, coef = map(jnp.asarray, qkv)
+        rng = np.random.default_rng(7)
+        kb = jnp.asarray(rng.normal(size=k.shape[1:]).astype(np.float32))
+        vb = jnp.asarray(rng.normal(size=v.shape[1:]).astype(np.float32))
+        van = attention(q, k, v)
+        on = dispatch_attention(q, k, v, coef, "fused_inner", backend="xla",
+                                k_begin=kb, v_begin=vb,
+                                force_vanilla=jnp.asarray(True))
+        np.testing.assert_allclose(np.asarray(on), np.asarray(van),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_mismatched_endpoint_len_fallback(self, qkv):
+        """Endpoint seq length != own KV length routes through the
+        compute-both-and-select fallback and still returns vanilla."""
+        from aid_tpu.ops.attention import dispatch_attention
+
+        q, k, v, coef = map(jnp.asarray, qkv)
+        rng = np.random.default_rng(8)
+        Lb = k.shape[-2] + 3
+        kb = jnp.asarray(rng.normal(size=(H, Lb, D)).astype(np.float32))
+        vb = jnp.asarray(rng.normal(size=(H, Lb, D)).astype(np.float32))
+        ke = jnp.asarray(rng.normal(size=(H, Lb, D)).astype(np.float32))
+        ve = jnp.asarray(rng.normal(size=(H, Lb, D)).astype(np.float32))
+        van = attention(q, k, v)
+        on = dispatch_attention(q, k, v, coef, "fused_outer", backend="xla",
+                                k_begin=kb, v_begin=vb, k_end=ke, v_end=ve,
+                                force_vanilla=jnp.asarray(True))
+        np.testing.assert_allclose(np.asarray(on), np.asarray(van),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_single_attention_evaluation(self, qkv):
+        """Structural no-double-compute guard: fused_inner under
+        force_vanilla must lower to exactly 2 dot_generals (QK + PV) —
+        the old select path had 4 (interpolated pair + vanilla pair)."""
+        import jax
+
+        from aid_tpu.ops.attention import dispatch_attention
+
+        q, k, v, coef = map(jnp.asarray, qkv)
+
+        def count_dots(jaxpr):
+            n = 0
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name == "dot_general":
+                    n += 1
+                for sub in jax.core.jaxprs_in_params(eqn.params) \
+                        if hasattr(jax.core, "jaxprs_in_params") else []:
+                    n += count_dots(sub)
+                for pval in eqn.params.values():
+                    if hasattr(pval, "jaxpr"):
+                        n += count_dots(pval.jaxpr)
+            return n
+
+        fn = lambda fv: dispatch_attention(q, k, v, coef, "fused_inner",
+                                           backend="xla", force_vanilla=fv)
+        jaxpr = jax.make_jaxpr(fn)(jnp.asarray(True)).jaxpr
+        assert count_dots(jaxpr) == 2

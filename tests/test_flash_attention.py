@@ -388,3 +388,31 @@ def test_onepass_envelope_overflow_falls_back_to_main_kernel(monkeypatch):
         q, k, v, coef, mode=AttnMode("self"), interpret=True, onepass_max=0)
     np.testing.assert_allclose(np.asarray(via_fallback), np.asarray(forced_main),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_static_smax_string_validation():
+    """A typo'd string must raise a ValueError naming the parameter, not an
+    opaque float() failure (ADVICE r3 low)."""
+    q, k, v, coef = _data(1, 1, 64, 64, 64, seed=1)
+    with pytest.raises(ValueError, match="static_smax"):
+        flash_interpolated_attention(q, k, v, coef, "self", interpret=True,
+                                     static_smax="Auto")
+
+
+def test_static_smax_bf16_incompatible():
+    """static_smax x exp_impl='bf16' cross (ADVICE r3 high #2): an explicit
+    shift constant raises (exp(bf16(s-40)) quantizes at ~0.125 nats); the
+    'auto' routing resolves to None under bf16 and stays within bf16
+    tolerance of the reference."""
+    q, k, v, coef = _data(3, 2, 128, 128, 64, seed=5)
+    with pytest.raises(ValueError, match="bf16"):
+        flash_interpolated_attention(q, k, v, coef, "fused_outer",
+                                     interpret=True, exp_impl="bf16",
+                                     static_smax=40.0)
+    want = interpolated_attention(q, k, v, coef, "fused_outer")
+    got = flash_interpolated_attention(q, k, v, coef, "fused_outer",
+                                       block_q=128, block_k=128,
+                                       interpret=True, exp_impl="bf16",
+                                       static_smax="auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)

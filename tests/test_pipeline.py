@@ -303,3 +303,28 @@ def test_call_num_images_per_prompt(pipe):
     one = pipe("a cat", num_inference_steps=2, num_images_per_prompt=1, seed=7)
     np.testing.assert_array_equal(out[0], one[0])  # seed-aligned first sample
     assert np.any(out[1] != out[0])  # distinct latents -> distinct images
+
+
+class TestStaticSmaxEndToEnd:
+    def test_auto_equals_exact_through_kernel(self, pipe, monkeypatch):
+        """End-to-end pin (VERDICT r3 next #1): a full tiny-pipeline denoise
+        routed through the Pallas kernels (interpret mode) with the model
+        path's static_smax='auto' default must produce the same images as
+        static_smax=None (exact row maxes) — the static shift is the SAME
+        softmax for in-window logits, and model logits are in-window."""
+        import importlib
+
+        attn_mod = importlib.import_module("aid_tpu.ops.attention")
+
+        monkeypatch.setattr(attn_mod, "resolve_backend", lambda b="auto": "flash")
+        monkeypatch.setattr(attn_mod, "FLASH_MIN_KV", 1)
+        kw = dict(prompt_start="a cat", prompt_end="a dog",
+                  num_inference_steps=2, seed=3)
+
+        monkeypatch.setattr(attn_mod, "FLASH_KERNEL_OVERRIDES",
+                            {"interpret": True})
+        auto = pipe.interpolate_single(0.5, **kw)
+        monkeypatch.setattr(attn_mod, "FLASH_KERNEL_OVERRIDES",
+                            {"interpret": True, "static_smax": None})
+        exact = pipe.interpolate_single(0.5, **kw)
+        np.testing.assert_allclose(auto.astype(int), exact.astype(int), atol=1)
