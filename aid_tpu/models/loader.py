@@ -308,19 +308,26 @@ def load_single_file_pipeline(
     tokenizer_path: str,
     scheduler_name: str = "ddim",
     dtype=jnp.bfloat16,
-    guidance_scale: float = 7.5,
+    guidance_scale: Optional[float] = None,
+    tokenizer_2_path: Optional[str] = None,
 ):
-    """Build an InterpolationPipeline from an original single-file SD
-    checkpoint (.safetensors or torch .ckpt).
+    """Build an InterpolationPipeline (or InterpolationXLPipeline) from an
+    original single-file checkpoint (.safetensors or torch .ckpt).
 
-    Reference FromSingleFileMixin surface (pipeline_interpolated_sd.py:
-    283-289). Model configs are inferred from checkpoint tensor shapes
-    (cross-attention width 768 -> SD1.x, 1024 -> SD2.x). The original
-    format carries no tokenizer, so a local tokenizer directory (any SD
-    checkpoint's tokenizer/ subfolder) must be supplied."""
+    Reference FromSingleFileMixin surface on BOTH pipelines
+    (pipeline_interpolated_sd.py:283-289, pipeline_interpolated_sdxl.py:
+    291-298). Model configs are inferred from checkpoint tensor shapes
+    (cross-attention width 768 -> SD1.x, 1024 -> SD2.x, 2048 -> SDXL; the
+    SDXL layout is auto-detected from its conditioner.embedders.* keys).
+    The original format carries no tokenizer, so a local tokenizer
+    directory (any SD checkpoint's tokenizer/ subfolder) must be supplied
+    — and for SDXL a ``tokenizer_2_path`` (defaults to ``tokenizer_path``:
+    both SDXL tokenizers share the CLIP BPE vocab, differing only in pad
+    token, which load_tokenizer reads per-directory)."""
     from aid_tpu.models.params import (
         convert_clip_text_state_dict,
         convert_ldm_checkpoint,
+        convert_ldm_checkpoint_xl,
         convert_unet_state_dict,
         convert_vae_state_dict,
     )
@@ -332,6 +339,47 @@ def load_single_file_pipeline(
         import torch
 
         sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+
+    def _infer_text(text_sd, hidden_act="quick_gelu", projection_dim=None):
+        emb = text_sd["text_model.embeddings.token_embedding.weight"]
+        n_layers = 1 + max(
+            int(k.split(".")[3]) for k in text_sd
+            if k.startswith("text_model.encoder.layers."))
+        hidden = emb.shape[1]
+        cfg = C.CLIPTextConfig(
+            vocab_size=emb.shape[0], hidden_size=hidden,
+            intermediate_size=4 * hidden, num_hidden_layers=n_layers,
+            num_attention_heads=hidden // 64, hidden_act=hidden_act,
+            projection_dim=projection_dim,
+        )
+        return CLIPTextModel(cfg), convert_clip_text_state_dict(text_sd)
+
+    if any(k.startswith("conditioner.embedders.") for k in sd):
+        from aid_tpu.pipelines.sdxl import InterpolationXLPipeline
+
+        unet_sd, vae_sd, text_sd, text2_sd = convert_ldm_checkpoint_xl(sd)
+        unet = UNet2DCondition(C.SDXL_UNET, dtype=dtype)
+        unet_params = convert_unet_state_dict(unet_sd)
+        vae = AutoencoderKL(C.SDXL_VAE)
+        vae_params = convert_vae_state_dict(vae_sd)
+        text, text_params = _infer_text(text_sd)
+        proj_dim = text2_sd["text_projection.weight"].shape[0]
+        text2, text2_params = _infer_text(text2_sd, hidden_act="gelu",
+                                          projection_dim=proj_dim)
+        scheduler = load_scheduler(os.path.dirname(checkpoint_path) or ".", scheduler_name)
+        return InterpolationXLPipeline(
+            unet=unet, unet_params=unet_params,
+            vae=vae, vae_params=vae_params,
+            text_encoder=text, text_params=text_params,
+            tokenizer=load_tokenizer(tokenizer_path),
+            text_encoder_2=text2, text_params_2=text2_params,
+            tokenizer_2=load_tokenizer(tokenizer_2_path or tokenizer_path),
+            scheduler=scheduler,
+            guidance_scale=5.0 if guidance_scale is None else guidance_scale,
+        )
+
     unet_sd, vae_sd, text_sd = convert_ldm_checkpoint(sd)
 
     cross_dim = unet_sd["down_blocks.0.attentions.0.transformer_blocks.0.attn2.to_k.weight"].shape[1]
@@ -347,18 +395,7 @@ def load_single_file_pipeline(
     vae = AutoencoderKL(C.VAEConfig())
     vae_params = convert_vae_state_dict(vae_sd)
 
-    emb = text_sd["text_model.embeddings.token_embedding.weight"]
-    n_layers = 1 + max(
-        int(k.split(".")[3]) for k in text_sd if k.startswith("text_model.encoder.layers.")
-    )
-    hidden = emb.shape[1]
-    text_cfg = C.CLIPTextConfig(
-        vocab_size=emb.shape[0], hidden_size=hidden,
-        intermediate_size=4 * hidden, num_hidden_layers=n_layers,
-        num_attention_heads=hidden // 64,
-    )
-    text = CLIPTextModel(text_cfg)
-    text_params = convert_clip_text_state_dict(text_sd)
+    text, text_params = _infer_text(text_sd)
 
     # no scheduler_config.json in single-file checkpoints: load_scheduler
     # degrades to the SD-1.x defaults (scaled_linear 0.00085-0.012) and
@@ -370,7 +407,8 @@ def load_single_file_pipeline(
         vae=vae, vae_params=vae_params,
         text_encoder=text, text_params=text_params,
         tokenizer=load_tokenizer(tokenizer_path),
-        scheduler=scheduler, guidance_scale=guidance_scale,
+        scheduler=scheduler,
+        guidance_scale=7.5 if guidance_scale is None else guidance_scale,
     )
 
 

@@ -300,6 +300,11 @@ def _ldm_unet_key(key: str, layers_per_block: int = 2) -> Optional[str]:
         return "conv_out." + key[len("out.2."):]
     if key.startswith("input_blocks.0.0."):
         return "conv_in." + key[len("input_blocks.0.0."):]
+    # SDXL text_time additional conditioning MLP (label_emb in LDM naming)
+    if key.startswith("label_emb.0.0."):
+        return "add_embedding.linear_1." + key[len("label_emb.0.0."):]
+    if key.startswith("label_emb.0.2."):
+        return "add_embedding.linear_2." + key[len("label_emb.0.2."):]
 
     if parts[0] == "input_blocks":
         i, j = int(parts[1]), int(parts[2])
@@ -388,6 +393,11 @@ def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
     """
     if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
         sd = sd["state_dict"]
+    if any(k.startswith("conditioner.embedders.") for k in sd):
+        raise ValueError(
+            "this is an SDXL-format single-file checkpoint; use "
+            "convert_ldm_checkpoint_xl / load_single_file_pipeline (which "
+            "auto-detects the layout)")
     if any(k.startswith("cond_stage_model.model.") for k in sd):
         raise ValueError(
             "SD2.x OpenCLIP single-file checkpoints are not supported; "
@@ -413,6 +423,97 @@ def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
         elif k.startswith("cond_stage_model.transformer."):
             text_sd[k[len("cond_stage_model.transformer."):]] = v
     return unet_sd, vae_sd, text_sd
+
+
+def convert_open_clip_text_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """OpenCLIP text-tower state dict -> transformers-format keys.
+
+    SDXL single-file checkpoints carry the second (bigG) text encoder in
+    original open_clip naming under ``conditioner.embedders.1.model.``
+    (the layout FromSingleFileMixin converts in diffusers; reference
+    pipeline_interpolated_sdxl.py:291-298). Maps resblocks -> encoder
+    layers, splits the packed ``attn.in_proj_*`` into q/k/v, and
+    transposes ``text_projection`` (open_clip applies ``pooled @ P`` with
+    P (width, proj); transformers stores the Linear weight (proj, width)).
+    Feed the result to :func:`convert_clip_text_state_dict`.
+    """
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        w = _to_numpy(v)
+        if k == "token_embedding.weight":
+            out["text_model.embeddings.token_embedding.weight"] = w
+        elif k == "positional_embedding":
+            out["text_model.embeddings.position_embedding.weight"] = w
+        elif k in ("ln_final.weight", "ln_final.bias"):
+            out["text_model.final_layer_norm." + k.split(".")[1]] = w
+        elif k == "text_projection":
+            out["text_projection.weight"] = w.T
+        elif k == "text_projection.weight":  # some exports use nn.Linear
+            out["text_projection.weight"] = w
+        elif k.startswith("transformer.resblocks."):
+            parts = k.split(".")
+            n, rest = parts[2], ".".join(parts[3:])
+            prefix = f"text_model.encoder.layers.{n}."
+            if rest in ("attn.in_proj_weight", "attn.in_proj_bias"):
+                leaf = "weight" if rest.endswith("weight") else "bias"
+                q, kk, vv = np.split(w, 3, axis=0)
+                out[prefix + f"self_attn.q_proj.{leaf}"] = q
+                out[prefix + f"self_attn.k_proj.{leaf}"] = kk
+                out[prefix + f"self_attn.v_proj.{leaf}"] = vv
+            elif rest.startswith("attn.out_proj."):
+                out[prefix + "self_attn.out_proj." + rest.split(".")[-1]] = w
+            elif rest.startswith("ln_1."):
+                out[prefix + "layer_norm1." + rest.split(".")[-1]] = w
+            elif rest.startswith("ln_2."):
+                out[prefix + "layer_norm2." + rest.split(".")[-1]] = w
+            elif rest.startswith("mlp.c_fc."):
+                out[prefix + "mlp.fc1." + rest.split(".")[-1]] = w
+            elif rest.startswith("mlp.c_proj."):
+                out[prefix + "mlp.fc2." + rest.split(".")[-1]] = w
+        # logit_scale / attn_mask buffers are dropped (inference-irrelevant)
+    return out
+
+
+def convert_ldm_checkpoint_xl(
+    sd: Dict[str, Any], layers_per_block: int = 2, vae_levels: int = 4,
+) -> Tuple[Dict, Dict, Dict, Dict]:
+    """Split an original SDXL single-file checkpoint into (unet_sd, vae_sd,
+    text_sd, text2_sd), each in diffusers/transformers key format.
+
+    SDXL layout (reference FromSingleFileMixin on
+    pipeline_interpolated_sdxl.py:291-298): UNet/VAE as in SD plus
+    ``label_emb`` (-> add_embedding); text encoders under
+    ``conditioner.embedders.0.transformer.`` (CLIP-L, transformers naming)
+    and ``conditioner.embedders.1.model.`` (OpenCLIP bigG naming,
+    converted via :func:`convert_open_clip_text_state_dict`).
+    """
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    if not any(k.startswith("conditioner.embedders.") for k in sd):
+        raise ValueError(
+            "not an SDXL single-file checkpoint (no conditioner.embedders.*)")
+
+    unet_sd, vae_sd, text_sd, open_clip_sd = {}, {}, {}, {}
+    for k, v in sd.items():
+        if k.startswith("model_ema."):
+            continue
+        if k.startswith("model.diffusion_model."):
+            nk = _ldm_unet_key(k[len("model.diffusion_model."):], layers_per_block)
+            if nk is not None:
+                unet_sd[nk] = v
+        elif k.startswith("first_stage_model."):
+            nk = _ldm_vae_key(k[len("first_stage_model."):], vae_levels)
+            if nk is not None:
+                w = _to_numpy(v)
+                if ".attentions.0.to_" in nk and w.ndim == 4:
+                    w = w.reshape(w.shape[0], w.shape[1])
+                vae_sd[nk] = w
+        elif k.startswith("conditioner.embedders.0.transformer."):
+            text_sd[k[len("conditioner.embedders.0.transformer."):]] = v
+        elif k.startswith("conditioner.embedders.1.model."):
+            open_clip_sd[k[len("conditioner.embedders.1.model."):]] = v
+    text2_sd = convert_open_clip_text_state_dict(open_clip_sd)
+    return unet_sd, vae_sd, text_sd, text2_sd
 
 
 def merge_params(base: Dict, extra: Dict) -> Dict:

@@ -104,6 +104,32 @@ FLASH_MIN_KV = 512
 # static-shift window with attention_logit_window.
 FLASH_KERNEL_OVERRIDES: dict = {}
 
+# Static-shift calibration hook: when set to a callable ``fn(lo, hi)``,
+# every dispatch_attention call probes the row-max window of its scaled
+# logits over the FULL packed K stream (own K for self/fused + both
+# endpoints for interpolated modes) and reports it via jax.debug.callback.
+# Exact for self/outer modes; for inner modes the lerped-K row max is
+# bounded above by the probed max (q.(lerp(kb,ke)) is a convex combination
+# of q.kb and q.ke). tools/hw_smoke.py --logit-window uses this to produce
+# the measured evidence behind the static_smax="auto" model-path default.
+LOGIT_WINDOW_RECORDER = None
+
+
+def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale):
+    mode = AttnMode(mode)
+    segs = []
+    if mode in (AttnMode.SELF, AttnMode.FUSED_OUTER, AttnMode.FUSED_INNER):
+        segs.append(k)
+    if mode != AttnMode.SELF:
+        for ep, row in ((k_begin, 0), (k_end, -1)):
+            e = k[row] if ep is None else ep
+            if e.ndim < k.ndim:
+                e = jnp.broadcast_to(e[None], k.shape[:1] + e.shape)
+            segs.append(e)
+    ks = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-2)
+    lo, hi = attention_logit_window(q, ks, scale)
+    jax.debug.callback(LOGIT_WINDOW_RECORDER, lo, hi)
+
 
 def dispatch_attention(
     q, k, v, coef, mode,
@@ -134,6 +160,9 @@ def dispatch_attention(
     no launch restructuring removes. The kernel takes over where logits
     get large (own-KV >= FLASH_MIN_KV, incl. the S<=1024 single-block
     path)."""
+    if LOGIT_WINDOW_RECORDER is not None:
+        _probe_logit_window(q, k, v, mode, k_begin, k_end,
+                            scale or q.shape[-1] ** -0.5)
     if resolve_backend(backend) == "flash" and k.shape[-2] >= FLASH_MIN_KV:
         from aid_tpu.ops.flash_attention import flash_interpolated_attention
 
@@ -267,21 +296,45 @@ def interpolated_attention(
 
 
 def attention_logit_window(q: jnp.ndarray, k: jnp.ndarray,
-                           scale: float | None = None) -> tuple:
+                           scale: float | None = None,
+                           q_block: int = 512) -> tuple:
     """Row-max logit statistics for static-shift softmax calibration.
 
     Returns ``(min_row_max, max_row_max)`` of the scaled attention logits
     q @ k^T * scale — the quantities that must lie inside the flash
     kernel's static-shift window ``[C - 72, C + 30]`` (C = ``static_smax``,
     default 40 -> window [-32, +70]) for the static shift to be the exact
-    softmax. PARITY.md's real-checkpoint runbook calls this per attention
-    layer on captured activations; any real SD/SDXL logit sits single
-    digits from zero, but the check makes that an observation instead of
-    an assumption. Debug/calibration only — materializes the logits.
+    softmax. tools/hw_smoke.py logs this per smoke config (set
+    ``LOGIT_WINDOW_RECORDER``) and PARITY.md's real-checkpoint runbook
+    calls it per attention layer on captured activations; any real
+    SD/SDXL logit sits single digits from zero, but the check makes that
+    an observation instead of an assumption. Chunked over q blocks so the
+    logits are never materialized beyond (q_block, L) per (batch, head) —
+    safe at the SDXL 4096x12288 hot shapes.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    s = jnp.einsum("...qd,...kd->...qk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * scale
-    row_max = jnp.max(s, axis=-1)
-    return jnp.min(row_max), jnp.max(row_max)
+    *_, Sq, D = q.shape
+    L = k.shape[-2]
+    qf = q.reshape(-1, Sq, D).astype(jnp.float32)
+    kf = jnp.broadcast_to(
+        k.astype(jnp.float32), tuple(q.shape[:-2]) + (L, D)).reshape(-1, L, D)
+    nqb = -(-Sq // q_block)
+    # pad q by repeating row 0: duplicate rows only duplicate row maxes,
+    # which is min/max-invariant
+    pad = nqb * q_block - Sq
+    qf = jnp.concatenate([qf, jnp.broadcast_to(qf[:, :1], (qf.shape[0], pad, D))],
+                         axis=1) if pad else qf
+
+    def per_bh(args):
+        qb, kb = args  # (Sq_padded, D), (L, D)
+
+        def qchunk(c, qs):  # (q_block, D)
+            m = jnp.max(qs @ kb.T * jnp.float32(scale), axis=-1)
+            return c, (jnp.min(m), jnp.max(m))
+
+        _, (lo, hi) = jax.lax.scan(qchunk, 0, qb.reshape(nqb, q_block, D))
+        return jnp.min(lo), jnp.max(hi)
+
+    lo, hi = jax.lax.map(per_bh, (qf, kf))
+    return jnp.min(lo), jnp.max(hi)

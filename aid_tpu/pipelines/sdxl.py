@@ -84,9 +84,53 @@ class InterpolationXLPipeline(InterpolationPipeline):
         neg, neg_pooled = enc(negative_prompt)
         return emb, neg, pooled, neg_pooled
 
-    def _time_ids(self, batch: int, height: int, width: int) -> jnp.ndarray:
-        ids = jnp.array([height, width, 0, 0, height, width], jnp.float32)
+    def _time_ids(
+        self,
+        batch: int,
+        height: int,
+        width: int,
+        original_size: Optional[tuple] = None,
+        crops_coords_top_left: tuple = (0, 0),
+        target_size: Optional[tuple] = None,
+    ) -> jnp.ndarray:
+        """SDXL micro-conditioning time_ids = original_size +
+        crops_coords_top_left + target_size (reference _get_add_time_ids,
+        sdxl:992-1014); sizes default to the output resolution
+        (sdxl:1474-1476)."""
+        original_size = tuple(original_size or (height, width))
+        target_size = tuple(target_size or (height, width))
+        ids = jnp.array([*original_size, *crops_coords_top_left, *target_size],
+                        jnp.float32)
         return jnp.broadcast_to(ids[None], (batch, 6))
+
+    def _time_ids_pair(
+        self,
+        batch: int,
+        height: int,
+        width: int,
+        original_size=None,
+        crops_coords_top_left=(0, 0),
+        target_size=None,
+        negative_original_size=None,
+        negative_crops_coords_top_left=(0, 0),
+        negative_target_size=None,
+    ) -> tuple:
+        """(cond time_ids, uncond time_ids). The negative micro-conditioning
+        family changes ONLY the uncond pass's time_ids (reference sdxl:1004-
+        1014: add_neg_time_ids built when negative_original_size and
+        negative_target_size are supplied, else the positive ids are
+        reused — sdxl:1733)."""
+        time_ids = self._time_ids(batch, height, width, original_size,
+                                  crops_coords_top_left, target_size)
+        if (negative_original_size is None and negative_target_size is None
+                and tuple(negative_crops_coords_top_left) == (0, 0)):
+            return time_ids, time_ids
+        neg_ids = self._time_ids(
+            batch, height, width,
+            negative_original_size or original_size,
+            negative_crops_coords_top_left,
+            negative_target_size or target_size)
+        return time_ids, neg_ids
 
     def _cond_kwargs(self, prompt: str, negative_prompt: str, batch: int,
                      latent_hw) -> tuple:
@@ -125,7 +169,15 @@ class InterpolationXLPipeline(InterpolationPipeline):
         height: Optional[int] = None,
         width: Optional[int] = None,
         denoising_end: Optional[float] = None,
+        original_size: Optional[tuple] = None,
+        crops_coords_top_left: tuple = (0, 0),
+        target_size: Optional[tuple] = None,
+        negative_original_size: Optional[tuple] = None,
+        negative_crops_coords_top_left: tuple = (0, 0),
+        negative_target_size: Optional[tuple] = None,
         output_type: str = "np",
+        callback_on_chunk_end=None,
+        callback_on_step_end=None,
     ):
         if alpha is None:
             alpha = float(num_inference_steps)
@@ -152,10 +204,13 @@ class InterpolationXLPipeline(InterpolationPipeline):
             neg_pooled = linear_interpolation(neg_pooled_s, neg_pooled_e, size=size)
 
         coef = jnp.asarray(generate_beta_schedule(size, alpha, beta, force_endpoints=True))
-        time_ids = self._time_ids(size, height, width)
+        time_ids, neg_time_ids = self._time_ids_pair(
+            size, height, width, original_size, crops_coords_top_left,
+            target_size, negative_original_size,
+            negative_crops_coords_top_left, negative_target_size)
         added = {"text_embeds": pooled, "time_ids": time_ids}
         # uncond pass takes the negative pooled embeds (reference sdxl:2275-2293)
-        added_uncond = {"text_embeds": neg_pooled, "time_ids": time_ids}
+        added_uncond = {"text_embeds": neg_pooled, "time_ids": neg_time_ids}
         return self._run_sequence(
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, added_cond=added,
@@ -163,6 +218,8 @@ class InterpolationXLPipeline(InterpolationPipeline):
             output_type="latent" if denoising_end is not None else output_type,
             per_frame_decode=True,
             num_run_steps=self._effective_steps(num_inference_steps, denoising_end),
+            callback_on_chunk_end=callback_on_chunk_end,
+            callback_on_step_end=callback_on_step_end,
         )
 
     def interpolate_single(
@@ -184,12 +241,43 @@ class InterpolationXLPipeline(InterpolationPipeline):
         image_embeds_start: Optional[jnp.ndarray] = None,
         image_embeds_end: Optional[jnp.ndarray] = None,
         negative_image_embeds: Optional[jnp.ndarray] = None,
+        prompt_embeds_start: Optional[jnp.ndarray] = None,
+        prompt_embeds_end: Optional[jnp.ndarray] = None,
+        pooled_prompt_embeds_start: Optional[jnp.ndarray] = None,
+        pooled_prompt_embeds_end: Optional[jnp.ndarray] = None,
+        negative_prompt_embeds: Optional[jnp.ndarray] = None,
+        negative_pooled_prompt_embeds: Optional[jnp.ndarray] = None,
+        guide_prompt_embeds: Optional[jnp.ndarray] = None,
+        guide_pooled_prompt_embeds: Optional[jnp.ndarray] = None,
         height: Optional[int] = None,
         width: Optional[int] = None,
         denoising_end: Optional[float] = None,
+        original_size: Optional[tuple] = None,
+        crops_coords_top_left: tuple = (0, 0),
+        target_size: Optional[tuple] = None,
+        negative_original_size: Optional[tuple] = None,
+        negative_crops_coords_top_left: tuple = (0, 0),
+        negative_target_size: Optional[tuple] = None,
         seed: int = 0,
         output_type: str = "np",
+        callback_on_chunk_end=None,
+        callback_on_step_end=None,
     ):
+        """SDXL 3-frame interpolation (reference interpolate_single,
+        sdxl:1693-2411).
+
+        ``prompt_embeds_start/end`` + ``pooled_prompt_embeds_start/end`` +
+        ``negative_prompt_embeds`` + ``negative_pooled_prompt_embeds`` (each
+        (1, S, 2048) / (1, 1280)) bypass both tokenizers/text-encoders — the
+        SDXL prompt-embeds escape hatch (reference sdxl:449-452, 1191-1192),
+        used by the parity harness to feed reference-exported embeddings
+        (PARITY.md; examples/parity_run.py --sdxl).
+
+        ``original_size``/``crops_coords_top_left``/``target_size`` and the
+        ``negative_*`` family are the SDXL micro-conditioning kwargs
+        (reference sdxl:992-1014, 1474-1476, 1733); negatives affect only
+        the uncond pass's time_ids.
+        """
         assert 0.0 < it < 1.0, "t must be between 0 and 1"
         height = height or self.default_size
         width = width or self.default_size
@@ -201,10 +289,40 @@ class InterpolationXLPipeline(InterpolationPipeline):
         latent_t = slerp(latent_start, latent_end, it)
         latents = jnp.concatenate([latent_start, latent_t, latent_end], axis=0)
 
-        emb_s, un_s, pooled_s, neg_pooled_s = self.encode_prompt(prompt_start, negative_prompt)
-        emb_e, un_e, pooled_e, neg_pooled_e = self.encode_prompt(prompt_end, negative_prompt)
-        if guide_prompt is not None:
-            emb_t, _, pooled_t, _ = self.encode_prompt(guide_prompt, negative_prompt)
+        if prompt_embeds_start is not None:
+            needed = (prompt_embeds_end, pooled_prompt_embeds_start,
+                      pooled_prompt_embeds_end, negative_prompt_embeds,
+                      negative_pooled_prompt_embeds)
+            assert all(x is not None for x in needed), (
+                "prompt_embeds_start requires prompt_embeds_end, "
+                "pooled_prompt_embeds_start/end, negative_prompt_embeds and "
+                "negative_pooled_prompt_embeds")
+            emb_s = jnp.asarray(prompt_embeds_start)
+            emb_e = jnp.asarray(prompt_embeds_end)
+            pooled_s = jnp.asarray(pooled_prompt_embeds_start)
+            pooled_e = jnp.asarray(pooled_prompt_embeds_end)
+            un_s = un_e = jnp.asarray(negative_prompt_embeds)
+            neg_pooled_s = neg_pooled_e = jnp.asarray(negative_pooled_prompt_embeds)
+            emb_g = (jnp.asarray(guide_prompt_embeds)
+                     if guide_prompt_embeds is not None else None)
+            pooled_g = (jnp.asarray(guide_pooled_prompt_embeds)
+                        if guide_pooled_prompt_embeds is not None else None)
+        else:
+            emb_s, un_s, pooled_s, neg_pooled_s = self.encode_prompt(prompt_start, negative_prompt)
+            emb_e, un_e, pooled_e, neg_pooled_e = self.encode_prompt(prompt_end, negative_prompt)
+            emb_g = pooled_g = None
+            if guide_prompt_embeds is not None:
+                emb_g = jnp.asarray(guide_prompt_embeds)
+                if guide_pooled_prompt_embeds is not None:
+                    pooled_g = jnp.asarray(guide_pooled_prompt_embeds)
+            elif guide_prompt is not None:
+                emb_g, _, pooled_g, _ = self.encode_prompt(guide_prompt, negative_prompt)
+        if emb_g is not None:
+            emb_t = emb_g
+            # guide pooled falls back to the interpolated pooled embeds when
+            # not supplied (pooled conditioning is global style, not content)
+            pooled_t = (pooled_g if pooled_g is not None
+                        else self._interp_pair(pooled_s, pooled_e, it, init))
         else:
             emb_t = self._interp_pair(emb_s, emb_e, it, init)
             pooled_t = self._interp_pair(pooled_s, pooled_e, it, init)
@@ -227,9 +345,12 @@ class InterpolationXLPipeline(InterpolationPipeline):
             ip_uncond = jnp.concatenate([negative_image_embeds] * 3, axis=0)
 
         coef = jnp.array([0.0, it, 1.0], jnp.float32)
-        time_ids = self._time_ids(3, height, width)
+        time_ids, neg_time_ids = self._time_ids_pair(
+            3, height, width, original_size, crops_coords_top_left,
+            target_size, negative_original_size,
+            negative_crops_coords_top_left, negative_target_size)
         added = {"text_embeds": pooled, "time_ids": time_ids}
-        added_uncond = {"text_embeds": neg_pooled, "time_ids": time_ids}
+        added_uncond = {"text_embeds": neg_pooled, "time_ids": neg_time_ids}
         return self._run_sequence(
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, guidance_rescale,
@@ -239,4 +360,6 @@ class InterpolationXLPipeline(InterpolationPipeline):
             output_type="latent" if denoising_end is not None else output_type,
             per_frame_decode=True,
             num_run_steps=self._effective_steps(num_inference_steps, denoising_end),
+            callback_on_chunk_end=callback_on_chunk_end,
+            callback_on_step_end=callback_on_step_end,
         )

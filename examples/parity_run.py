@@ -9,6 +9,11 @@ Usage:
   python examples/parity_run.py --checkpoint /path/to/sd15 \
       [--latent-start start.npy --latent-end end.npy] \
       [--prompt-start "..."] [--prompt-end "..."] [--steps 25] [--out out/parity]
+
+SDXL checkpoints are auto-detected (dual text encoders); pass --sdxl to
+assert the detection and supply the SDXL embeds-bypass set
+(--pooled-embeds-start/end, --neg-pooled-embeds in addition to the SD trio)
+exported from the reference pipeline (sdxl:449-452, 1191-1192).
 """
 
 import argparse
@@ -28,6 +33,13 @@ def main():
     ap.add_argument("--embeds-end", default=None)
     ap.add_argument("--neg-embeds", default=None)
     ap.add_argument("--guide-embeds", default=None, help="optional PAID guide embeds")
+    ap.add_argument("--sdxl", action="store_true",
+                    help="assert an SDXL checkpoint; enables the pooled-embeds args")
+    ap.add_argument("--pooled-embeds-start", default=None,
+                    help="SDXL pooled cond embeds (1,1280) for the start prompt")
+    ap.add_argument("--pooled-embeds-end", default=None)
+    ap.add_argument("--neg-pooled-embeds", default=None)
+    ap.add_argument("--guide-pooled-embeds", default=None)
     ap.add_argument("--prompt-start", default="A photo of dog, best quality, extremely detailed")
     ap.add_argument("--prompt-end", default="A photo of car, best quality, extremely detailed")
     ap.add_argument("--it", type=float, default=0.5)
@@ -54,6 +66,9 @@ def main():
 
     pipe = load_interpolation_pipeline(args.checkpoint, scheduler_name="ddim",
                                        guidance_scale=args.guidance)
+    is_xl = hasattr(pipe, "text_encoder_2") and pipe.text_encoder_2 is not None
+    if args.sdxl and not is_xl:
+        raise SystemExit("--sdxl given but the checkpoint loaded as SD (no text_encoder_2)")
     kw = {}
     if args.latent_start:
         kw["latent_start"] = load_reference_latents(args.latent_start)
@@ -66,6 +81,16 @@ def main():
         kw["negative_prompt_embeds"] = load_reference_embeds(args.neg_embeds)
         if args.guide_embeds:
             kw["guide_prompt_embeds"] = load_reference_embeds(args.guide_embeds)
+        if is_xl:
+            assert (args.pooled_embeds_start and args.pooled_embeds_end
+                    and args.neg_pooled_embeds), (
+                "SDXL embeds bypass needs --pooled-embeds-start/end and "
+                "--neg-pooled-embeds (reference pooled prompt conditioning)")
+            kw["pooled_prompt_embeds_start"] = load_reference_embeds(args.pooled_embeds_start)
+            kw["pooled_prompt_embeds_end"] = load_reference_embeds(args.pooled_embeds_end)
+            kw["negative_pooled_prompt_embeds"] = load_reference_embeds(args.neg_pooled_embeds)
+            if args.guide_pooled_embeds:
+                kw["guide_pooled_prompt_embeds"] = load_reference_embeds(args.guide_pooled_embeds)
     images = pipe.interpolate_single(
         args.it, prompt_start=args.prompt_start, prompt_end=args.prompt_end,
         num_inference_steps=args.steps, warmup_ratio=args.warmup_ratio,

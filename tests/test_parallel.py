@@ -215,3 +215,78 @@ def test_frame_shard_count_multislice():
 
     assert frame_shard_count(make_mesh(dp=8, tp=1)) == 8
     assert frame_shard_count(make_multislice_mesh(dp_dcn=2, dp_ici=2, tp=2)) == 4
+
+
+def test_shard_map_added_cond_frame_sharded(pipe):
+    """SDXL-style added_cond dicts (text_embeds + time_ids per frame) must
+    ride the frame sharding through shard_map in_specs: sharded == unsharded
+    (VERDICT r3 weak #7 — previously only the IP branch was covered)."""
+    from aid_tpu.models import UNet2DCondition, configs
+    from aid_tpu.parallel import sharded_denoise_sequence
+
+    cfg = configs.TINY_SDXL_UNET
+    unet = UNet2DCondition(cfg)
+    s = cfg.sample_size
+    size = 8
+    added0 = {"text_embeds": jnp.zeros((1, 24)), "time_ids": jnp.zeros((1, 6))}
+    params = unet.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, s, s, cfg.in_channels)),
+        jnp.array(0), jnp.zeros((1, 77, cfg.cross_attention_dim)), None, added0)
+
+    k = jax.random.split(jax.random.PRNGKey(3), 6)
+    latents = jax.random.normal(k[0], (size, s, s, cfg.in_channels))
+    embs = jax.random.normal(k[1], (size, 77, cfg.cross_attention_dim))
+    uncond = jnp.zeros_like(embs)
+    coef = jnp.linspace(0, 1, size)
+    added = {"text_embeds": jax.random.normal(k[2], (size, 24)),
+             "time_ids": jnp.broadcast_to(
+                 jnp.array([16.0, 16, 0, 0, 16, 16]), (size, 6))}
+    added_un = {"text_embeds": jax.random.normal(k[3], (size, 24)),
+                "time_ids": added["time_ids"]}
+
+    from aid_tpu.schedulers.ddim import DDIMScheduler
+
+    sched = DDIMScheduler()
+    kw = dict(early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+              num_steps=2, warmup_steps=1,
+              added_cond=added, added_cond_uncond=added_un)
+    ref = np.asarray(engine.denoise_sequence(
+        unet, sched, params, latents, embs, uncond, coef,
+        sched.init(2), jnp.float32(7.5), **kw))
+
+    latents2 = jax.random.normal(k[0], (size, s, s, cfg.in_channels))
+    mesh = make_mesh(dp=4, tp=1, devices=jax.devices()[:4])
+    out = np.asarray(sharded_denoise_sequence(
+        mesh, unet, sched, params, latents2, embs, uncond, coef,
+        sched.init(2), jnp.float32(7.5), **kw))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_shard_map_hlo_collectives_audit(pipe):
+    """Compiled-HLO audit (SURVEY §5.8): the ONLY cross-shard traffic in the
+    sharded denoise loop is the 2-row endpoint all-gather per attention
+    layer — no all-reduce / reduce-scatter / collective-permute /
+    all-to-all anywhere in the optimized module."""
+    import functools
+
+    from aid_tpu.parallel import sharded_denoise_sequence
+
+    latents, embs, uncond, coef, state = _sequence_inputs(pipe, size=8)
+    mesh = make_mesh(dp=8, tp=1)
+
+    fn = functools.partial(
+        sharded_denoise_sequence, mesh, pipe.unet, pipe.scheduler,
+        early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+        num_steps=2, warmup_steps=1,
+    )
+    lowered = jax.jit(lambda p, l, e, u, c, s, g: fn(p, l, e, u, c, s, g)).lower(
+        pipe.unet_params, latents, embs, uncond, coef, state, jnp.float32(7.5))
+    hlo = lowered.compile().as_text()
+
+    n_ag = hlo.count("all-gather")
+    assert n_ag > 0, "endpoint gather missing from the compiled module"
+    for bad in ("all-reduce", "reduce-scatter", "collective-permute", "all-to-all"):
+        # all-reduce may legitimately appear fused INTO an all-gather name;
+        # match op starts only
+        assert f" {bad}(" not in hlo and f"{bad}-start" not in hlo, (
+            f"unexpected collective {bad} in sharded denoise HLO")

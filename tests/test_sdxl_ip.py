@@ -341,3 +341,91 @@ class TestIPEmbedsEndOnly:
             image_embeds_end=e1, num_inference_steps=2)
         assert out.shape == (3, 16, 16, 3)
         assert np.isfinite(out.astype(np.float32)).all()
+
+
+class TestSDXLParityHooks:
+    """SDXL prompt-embeds escape hatch + callbacks (VERDICT r3 missing #2;
+    reference sdxl:449-452, 1191-1192, :863+) and micro-conditioning kwargs
+    (VERDICT r3 missing #3; reference sdxl:992-1014, 1474-1476, 1733)."""
+
+    def test_embeds_bypass_matches_prompt_path(self, xl_pipe):
+        kw = dict(num_inference_steps=2, seed=5)
+        want = xl_pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            negative_prompt="blurry", **kw)
+        emb_s, un, pooled_s, neg_pooled = xl_pipe.encode_prompt("a cat", "blurry")
+        emb_e, _, pooled_e, _ = xl_pipe.encode_prompt("a dog", "blurry")
+        got = xl_pipe.interpolate_single(
+            0.5,
+            prompt_embeds_start=emb_s, prompt_embeds_end=emb_e,
+            pooled_prompt_embeds_start=pooled_s,
+            pooled_prompt_embeds_end=pooled_e,
+            negative_prompt_embeds=un,
+            negative_pooled_prompt_embeds=neg_pooled, **kw)
+        np.testing.assert_array_equal(got, want)
+
+    def test_embeds_bypass_guide_prompt(self, xl_pipe):
+        kw = dict(num_inference_steps=2, seed=5)
+        want = xl_pipe.interpolate_single(
+            0.5, prompt_start="a cat", prompt_end="a dog",
+            guide_prompt="an animal", negative_prompt="blurry", **kw)
+        emb_s, un, pooled_s, neg_pooled = xl_pipe.encode_prompt("a cat", "blurry")
+        emb_e, _, pooled_e, _ = xl_pipe.encode_prompt("a dog", "blurry")
+        emb_g, _, pooled_g, _ = xl_pipe.encode_prompt("an animal", "blurry")
+        got = xl_pipe.interpolate_single(
+            0.5,
+            prompt_embeds_start=emb_s, prompt_embeds_end=emb_e,
+            pooled_prompt_embeds_start=pooled_s,
+            pooled_prompt_embeds_end=pooled_e,
+            negative_prompt_embeds=un,
+            negative_pooled_prompt_embeds=neg_pooled,
+            guide_prompt_embeds=emb_g,
+            guide_pooled_prompt_embeds=pooled_g, **kw)
+        np.testing.assert_array_equal(got, want)
+
+    def test_embeds_bypass_requires_pooled(self, xl_pipe):
+        emb, un, pooled, neg_pooled = xl_pipe.encode_prompt("a", "b")
+        with pytest.raises(AssertionError, match="pooled"):
+            xl_pipe.interpolate_single(
+                0.5, prompt_embeds_start=emb, prompt_embeds_end=emb,
+                negative_prompt_embeds=un, num_inference_steps=2)
+
+    def test_callback_on_step_end_runs_per_step(self, xl_pipe):
+        seen = []
+
+        def cb(pipe, i, t, kwargs):
+            seen.append((i, kwargs["latents"].shape))
+            return None
+
+        xl_pipe.interpolate_single(
+            0.5, prompt_start="a", prompt_end="b", num_inference_steps=3,
+            seed=0, callback_on_step_end=cb)
+        assert [i for i, _ in seen] == [0, 1, 2]
+
+    def test_negative_original_size_changes_only_uncond_time_ids(self, xl_pipe):
+        cond, uncond = xl_pipe._time_ids_pair(
+            3, 16, 16,
+            original_size=(32, 32), crops_coords_top_left=(1, 2),
+            negative_original_size=(8, 8),
+            negative_crops_coords_top_left=(3, 4))
+        base_cond, base_uncond = xl_pipe._time_ids_pair(
+            3, 16, 16, original_size=(32, 32), crops_coords_top_left=(1, 2))
+        # cond ids are identical with or without the negative family
+        np.testing.assert_array_equal(np.asarray(cond), np.asarray(base_cond))
+        np.testing.assert_array_equal(
+            np.asarray(cond[0]), [32, 32, 1, 2, 16, 16])
+        # only the uncond ids pick up the negative micro-conditioning
+        # (missing negative_target_size falls back to the positive one)
+        np.testing.assert_array_equal(
+            np.asarray(uncond[0]), [8, 8, 3, 4, 16, 16])
+        np.testing.assert_array_equal(np.asarray(base_uncond), np.asarray(base_cond))
+
+    def test_micro_conditioning_flows_to_output(self, xl_pipe):
+        kw = dict(prompt_start="a", prompt_end="b", num_inference_steps=2, seed=0)
+        base = xl_pipe.interpolate_single(0.5, **kw)
+        changed = xl_pipe.interpolate_single(
+            0.5, original_size=(64, 64), crops_coords_top_left=(4, 4), **kw)
+        assert np.any(base != changed)
+        neg_changed = xl_pipe.interpolate_single(
+            0.5, negative_original_size=(64, 64), **kw)
+        assert np.any(base != neg_changed)

@@ -187,3 +187,123 @@ class TestSingleFileConversion:
         inner = {"model.diffusion_model.out.0.weight": np.ones(3, np.float32)}
         unet_sd, _, _ = convert_ldm_checkpoint({"state_dict": inner})
         assert "conv_norm_out.weight" in unet_sd
+
+
+def _openclip_inverse(hf_sd):
+    """transformers-format text-encoder keys -> original open_clip naming
+    (inverse of convert_open_clip_text_state_dict, written independently)."""
+    import collections
+
+    out = {}
+    packed = collections.defaultdict(dict)
+    for k, v in hf_sd.items():
+        if k == "token_embedding.weight":
+            out["token_embedding.weight"] = v
+        elif k == "position_embedding.weight":
+            out["positional_embedding"] = v
+        elif k.startswith("final_layer_norm."):
+            out["ln_final." + k.split(".")[-1]] = v
+        elif k == "text_projection.weight":
+            out["text_projection"] = v.T
+        else:
+            m = re.match(r"layers\.(\d+)\.(.*)", k)
+            assert m, k
+            n, rest = m.group(1), m.group(2)
+            pre = f"transformer.resblocks.{n}."
+            qkv = re.match(r"self_attn\.([qkv])_proj\.(weight|bias)", rest)
+            if qkv:
+                packed[(n, qkv.group(2))][qkv.group(1)] = v
+            elif rest.startswith("self_attn.out_proj."):
+                out[pre + "attn.out_proj." + rest.split(".")[-1]] = v
+            elif rest.startswith("layer_norm1."):
+                out[pre + "ln_1." + rest.split(".")[-1]] = v
+            elif rest.startswith("layer_norm2."):
+                out[pre + "ln_2." + rest.split(".")[-1]] = v
+            elif rest.startswith("mlp.fc1."):
+                out[pre + "mlp.c_fc." + rest.split(".")[-1]] = v
+            elif rest.startswith("mlp.fc2."):
+                out[pre + "mlp.c_proj." + rest.split(".")[-1]] = v
+            else:
+                raise KeyError(k)
+    for (n, leaf), parts in packed.items():
+        out[f"transformer.resblocks.{n}.attn.in_proj_{leaf}"] = np.concatenate(
+            [parts["q"], parts["k"], parts["v"]], axis=0)
+    return out
+
+
+class TestSingleFileXL:
+    """SDXL single-file layout (VERDICT r3 missing #4; reference
+    FromSingleFileMixin on pipeline_interpolated_sdxl.py:291-298)."""
+
+    def _xl_text_cfg(self, projection_dim=None, act="quick_gelu"):
+        import dataclasses as dc
+
+        return dc.replace(configs.TINY_CLIP_TEXT, projection_dim=projection_dim,
+                          hidden_act=act)
+
+    def test_full_checkpoint_roundtrip(self):
+        from aid_tpu.models.params import convert_ldm_checkpoint_xl
+
+        cfg = configs.TINY_SDXL_UNET
+        unet = UNet2DCondition(cfg)
+        s = cfg.sample_size
+        added = {"text_embeds": jnp.zeros((1, 24)), "time_ids": jnp.zeros((1, 6))}
+        uparams = unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, s, s, 4)), jnp.array(0),
+            jnp.zeros((1, 7, cfg.cross_attention_dim)), None, added)
+        vcfg = configs.TINY_VAE
+        vae = AutoencoderKL(vcfg)
+        vparams = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+        text1 = CLIPTextModel(self._xl_text_cfg())
+        t1params = text1.init(jax.random.PRNGKey(2), jnp.zeros((1, 16), jnp.int32))
+        text2 = CLIPTextModel(self._xl_text_cfg(projection_dim=24, act="gelu"))
+        t2params = text2.init(jax.random.PRNGKey(3), jnp.zeros((1, 16), jnp.int32))
+
+        sd = {"model_ema.decay": np.float32(0.999)}  # must be ignored
+        for k, v in _flax_to_torch(uparams["params"]).items():
+            m = re.match(r"add_embedding\.linear_(\d)\.(.*)", k)
+            nk = (f"label_emb.0.{(int(m.group(1)) - 1) * 2}.{m.group(2)}"
+                  if m else _unet_diffusers_to_ldm(k, cfg))
+            sd["model.diffusion_model." + nk] = v
+        n = len(vcfg.block_out_channels)
+        for k, v in _flax_to_torch(vparams["params"]).items():
+            nk, is_attn = _vae_diffusers_to_ldm(k, n)
+            if is_attn and v.ndim == 2:
+                v = v.reshape(*v.shape, 1, 1)
+            sd["first_stage_model." + nk] = v
+        for k, v in _flax_to_torch(t1params["params"]).items():
+            if "token_embedding" in k or "position_embedding" in k:
+                k = "embeddings." + k
+            elif k.startswith("layers."):
+                k = "encoder." + k
+            sd["conditioner.embedders.0.transformer.text_model." + k] = v
+        for k, v in _openclip_inverse(_flax_to_torch(t2params["params"])).items():
+            sd["conditioner.embedders.1.model." + k] = v
+        sd["conditioner.embedders.1.model.logit_scale"] = np.float32(4.6)  # dropped
+
+        unet_sd, vae_sd, text_sd, text2_sd = convert_ldm_checkpoint_xl(
+            sd, layers_per_block=cfg.layers_per_block, vae_levels=n)
+        _tree_equal(convert_unet_state_dict(unet_sd), uparams)
+        _tree_equal(convert_vae_state_dict(vae_sd), vparams)
+
+        ids = jnp.array([[1, 5, 2, 2]])
+        a1, _, _ = text1.apply(t1params, ids)
+        b1, _, _ = text1.apply(convert_clip_text_state_dict(text_sd), ids)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), rtol=1e-6)
+        a2, ap, _ = text2.apply(t2params, ids)
+        b2, bp, _ = text2.apply(convert_clip_text_state_dict(text2_sd), ids)
+        np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), rtol=1e-6)
+        # pooled path exercises the transposed text_projection
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(bp), rtol=1e-6)
+
+    def test_sd_converter_redirects_xl(self):
+        with pytest.raises(ValueError, match="SDXL"):
+            convert_ldm_checkpoint(
+                {"conditioner.embedders.0.transformer.x": np.zeros(2)})
+
+    def test_xl_converter_rejects_sd(self):
+        from aid_tpu.models.params import convert_ldm_checkpoint_xl
+
+        with pytest.raises(ValueError, match="conditioner"):
+            convert_ldm_checkpoint_xl(
+                {"cond_stage_model.transformer.x": np.zeros(2)})

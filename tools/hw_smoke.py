@@ -77,13 +77,42 @@ def smoke(name, cfgname, L, mode, ip=False, scale_control=False):
                      if ip else None)
         aid = AidContext(coef=coef, mode=m, ip_hidden_states=ip_states)
     import math
+
+    window = None
+    if os.environ.get("AID_LOGIT_WINDOW") or "--logit-window" in sys.argv:
+        # static-shift calibration evidence (VERDICT r3 next #2): record the
+        # min/max row-max scaled logit across EVERY dispatch_attention call
+        # in this forward; the static_smax="auto" model-path default is
+        # exact iff these stay inside [-32, +70] (C=40 window)
+        import importlib
+
+        attn_mod = importlib.import_module("aid_tpu.ops.attention")
+
+        acc = [float("inf"), float("-inf")]
+
+        def record(lo, hi):
+            acc[0] = min(acc[0], float(lo))
+            acc[1] = max(acc[1], float(hi))
+
+        attn_mod.LOGIT_WINDOW_RECORDER = record
+        window = acc
     try:
         out = unet.apply(params, sample, jnp.array(500), ehs, aid, added)
         v = float(jnp.sum(out.astype(jnp.float32)))
         ok, detail = math.isfinite(v), round(v, 2)
     except Exception as e:
         ok, detail = False, repr(e)[:160]
-    print(json.dumps({"smoke": name, "ok": ok, "detail": detail}), flush=True)
+    finally:
+        if window is not None:
+            import importlib
+
+            attn_mod = importlib.import_module("aid_tpu.ops.attention")
+            attn_mod.LOGIT_WINDOW_RECORDER = None
+    row = {"smoke": name, "ok": ok, "detail": detail}
+    if window is not None and window[0] <= window[1]:
+        row["logit_row_max_window"] = [round(window[0], 2), round(window[1], 2)]
+        row["static_smax40_in_window"] = bool(-32.0 <= window[0] and window[1] <= 70.0)
+    print(json.dumps(row), flush=True)
     return ok
 
 
@@ -121,7 +150,7 @@ if __name__ == "__main__":
         ("sdxl_fused_inner", "SDXL_UNET", 128, "fused_inner", False, False),
         ("sdxl_ip_fused_outer", "SDXL_UNET", 128, "fused_outer", True, False),
     ]
-    want = set(sys.argv[1:])
+    want = {a for a in sys.argv[1:] if not a.startswith("-")}
     rows = [r for r in MATRIX if not want or r[0] in want]
     fails = sum(0 if smoke(*row) else 1 for row in rows)
     n = len(rows)
