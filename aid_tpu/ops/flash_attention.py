@@ -81,6 +81,17 @@ LANES = 128
 # One-pass kernel resident-KV envelope: heads-per-group x packed-stream
 # cols must stay under this (proven at the S=1024 H=20 SDXL shape).
 _ONEPASS_MAX_RESIDENT_COLS = 20 * 1024
+# Split-endpoint routing ceiling: outer modes with shared 3D endpoints take
+# the split one-pass path up to this stream length regardless of the
+# default onepass_max — measured 10.47 vs 14.86 ms (-30%) against the
+# streaming kernel at the SDXL fused@4096 shape (B7 H10 Ltot 12288,
+# tools/opt4_results.jsonl r4split_* vs r4packg_*): no endpoint broadcast
+# in HBM + per-(b,g) whole-segment residency beats the online-softmax
+# stream. Bounded by the VMEM envelope via the hgroup divisor search.
+_SPLIT_ONEPASS_MAX = 16384
+# escape hatch: False restores the packed-stream routing everywhere (A/B,
+# debugging) — the split path is a pure perf optimization, numerics-equal
+_SPLIT_EP_ENABLE = True
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -326,14 +337,17 @@ def _kernel(
 
 
 def _kernel_onepass(
-    lens_ref,  # [self_end, begin_end, end_end] absolute valid cols
+    lens_ref,  # per-slot valid cols: packed = [self_end, begin_end,
+    # end_end] absolute in the stream; split = [Lk, Le, ep_cols + Le]
+    # in source-local coords
     coef_ref,  # (B,) f32
     skip_ref,  # (B,) int32
-    q_ref,  # (1, Hb, bq, Dp)
-    k_ref,  # (1, Hb, Ltot, Dp) — the WHOLE packed KV stream (head group)
-    v_ref,
-    o_ref,  # (1, Hb, bq, Dp)
-    *,
+    # positional refs (composition depends on the path):
+    #   packed (ep_cols=0):      q, k, v, o           k/v = (1, Hb, Ltot, Dp)
+    #   split  (ep_cols>0):      q, [k, v,] ek, ev, o — own stream k/v only
+    #   when n_self_cols > 0; ek/ev = (Hb, 2*ep_cols, Dp) SHARED across the
+    #   batch (block index map ignores b — no endpoint broadcast in HBM)
+    *refs,
     mode: AttnMode,
     scale: float,
     n_self_cols: int,
@@ -348,6 +362,7 @@ def _kernel_onepass(
     # combine weights all collapse — every segment contributes at the same
     # static scale, so num/den are plain sums over member segments
     smax_clip: Optional[float],
+    ep_cols: int = 0,  # split-endpoint path: padded per-endpoint width
 ):
     """One-pass kernel: whole packed stream resident, heads looped in-kernel.
 
@@ -385,22 +400,44 @@ def _kernel_onepass(
       * ``needs_mask=False`` (every segment exactly fills its padded span)
         elides tail masking entirely; otherwise each segment masks only its
         own (bq, seg_width) slice."""
+    refs = list(refs)
+    q_ref = refs.pop(0)
+    if ep_cols == 0 or n_self_cols:
+        k_ref = refs.pop(0)
+        v_ref = refs.pop(0)
+    else:  # split pure_outer: the own stream is never read, never shipped
+        k_ref = v_ref = None
+    if ep_cols:
+        ek_ref = refs.pop(0)
+        ev_ref = refs.pop(0)
+    (o_ref,) = refs
+
     b = pl.program_id(0)
     bq, Dp = q_ref.shape[2], q_ref.shape[3]
-    Ltot = k_ref.shape[2]
+    Ltot = n_self_cols + 2 * ep_cols if ep_cols else k_ref.shape[2]
     exp_fn = jax.lax.exp2 if exp_impl == "exp2" else jnp.exp
 
-    # static segment table: (start, width, lens-slot)
+    # static segment table: (src, start, width, lens-slot, mask-offset) —
+    # src 0 reads the own-stream ref, src 1 the shared endpoint ref; start
+    # is the slice start within its source, and mask compares
+    # col + mask_offset < lens_ref[slot]
     segments = []
-    if n_self_cols:
-        segments.append((0, n_self_cols, 0))
-    if mode.is_outer:
-        segments.append((n_self_cols, n_begin_cols, 1))
-        segments.append((n_self_cols + n_begin_cols, Ltot - n_self_cols - n_begin_cols, 2))
-    elif mode.is_inner:
-        segments.append((n_self_cols, Ltot - n_self_cols, 1))
-    if not segments:  # plain SELF over the whole stream
-        segments.append((0, Ltot, 0))
+    if ep_cols:  # split-endpoint path (outer modes, shared 3D endpoints)
+        if n_self_cols:
+            segments.append((0, 0, n_self_cols, 0, 0))
+        segments.append((1, 0, ep_cols, 1, 0))
+        segments.append((1, ep_cols, ep_cols, 2, ep_cols))
+    else:
+        if n_self_cols:
+            segments.append((0, 0, n_self_cols, 0, 0))
+        if mode.is_outer:
+            segments.append((0, n_self_cols, n_begin_cols, 1, n_self_cols))
+            start2 = n_self_cols + n_begin_cols
+            segments.append((0, start2, Ltot - start2, 2, start2))
+        elif mode.is_inner:
+            segments.append((0, n_self_cols, Ltot - n_self_cols, 1, n_self_cols))
+        if not segments:  # plain SELF over the whole stream
+            segments.append((0, 0, Ltot, 0, 0))
     # which segments each accumulator set sums over (indices into `segments`)
     if mode.is_outer:
         own = [0] if n_self_cols else []
@@ -426,30 +463,48 @@ def _kernel_onepass(
         return exp_of(sm - m)
 
     def score(h):
+        """Per-segment score slabs. Packed path: ONE full-stream QK dot,
+        sliced (unchanged MXU shape); split path: one dot per segment
+        against its source ref (each segment is block-scale wide, so the
+        MXU sees the same large dots)."""
         q = q_ref[0, h]
-        k_h = k_ref[0, h]
-        return jax.lax.dot_general(
-            q, k_h, (((1,), (1,)), ((), ())),
+        if ep_cols:
+            slabs = []
+            for (src, start, width, slot, moff) in segments:
+                arr = k_ref[0, h] if src == 0 else ek_ref[h]
+                ks = jax.lax.slice(arr, (start, 0), (start + width, Dp))
+                slabs.append(jax.lax.dot_general(
+                    q, ks, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale)
+            return slabs
+        s = jax.lax.dot_general(
+            q, k_ref[0, h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        return [jax.lax.slice(s, (0, start), (bq, start + width))
+                for (src, start, width, slot, moff) in segments]
 
-    def process(h, s):
-        v_h = v_ref[0, h]
+    def process(h, slabs):
+        v_srcs = [None if v_ref is None else v_ref[0, h]]
+        if ep_cols:
+            v_srcs.append(ev_ref[h])
         if den_col == Dp:
             # MXU-resident normalizer (see _kernel): widen V by a ones
             # column inside the lane tile the PV dot already pads to (the
             # Dp > D case needs nothing here — the wrapper wrote the ones
-            # into the packed stream's zero pad lane)
-            v_h = jnp.pad(v_h, ((0, 0), (0, 1)), constant_values=1)
-        vw = v_h.shape[-1]
+            # into the stream's zero pad lane)
+            v_srcs = [None if x is None else
+                      jnp.pad(x, ((0, 0), (0, 1)), constant_values=1)
+                      for x in v_srcs]
+        vw = next(x for x in v_srcs if x is not None).shape[-1]
 
         stats = []  # per segment: (m, l|None, pv) — with den_col>=0 the
         # normalizer rides pv lane den_col instead of a separate l
-        for (start, width, slot) in segments:
-            s_seg = jax.lax.slice(s, (0, start), (bq, start + width))
+        for (src, start, width, slot, moff), s_seg in zip(segments, slabs):
             if needs_mask:
                 col = jax.lax.broadcasted_iota(jnp.int32, (bq, width), 1)
-                s_seg = jnp.where(col + start < lens_ref[slot], s_seg, NEG_INF)
+                s_seg = jnp.where(col + moff < lens_ref[slot], s_seg, NEG_INF)
             if smax_shift is not None:
                 m_seg = None
                 p_seg = exp_of(jnp.minimum(s_seg - smax_shift, smax_clip))
@@ -459,8 +514,8 @@ def _kernel_onepass(
             l_seg = (None if den_col >= 0 else
                      jnp.sum(p_seg, axis=-1, keepdims=True, dtype=jnp.float32))
             pv_seg = jax.lax.dot_general(
-                p_seg.astype(v_h.dtype),
-                jax.lax.slice(v_h, (start, 0), (start + width, vw)),
+                p_seg.astype(v_srcs[src].dtype),
+                jax.lax.slice(v_srcs[src], (start, 0), (start + width, vw)),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -687,45 +742,19 @@ def flash_interpolated_attention(
 
     qp = pad(q, seq_ax, Sqp)
 
-    # ---- pack the per-frame KV stream: [own | begin | end] / [own | cross]
+    # ---- stream geometry, decided BEFORE any packing so the one-pass
+    # split-endpoint path can skip the packed-stream materialization
     cf = coef.astype(jnp.float32)
     include_self = mode in (AttnMode.SELF, AttnMode.FUSED_OUTER, AttnMode.FUSED_INNER)
-    segs_k, segs_v = [], []
-    if include_self:
-        segs_k.append(pad(k, seq_ax, Lkp))
-        segs_v.append(pad(v, seq_ax, Lkp))
     n_self = Lkp // block_k if include_self else 0
-
-    def tile(x):  # shared 3D or per-row 4D endpoint -> padded (B, H, Lep, Dp)
-        x = pad(x, x.ndim + ep_seq_ax, Lep)
-        if x.ndim == 3:
-            x = jnp.broadcast_to(x[None], (B, H, Lep, Dp))
-        return x
-
     if mode.is_outer:
-        segs_k += [tile(k_begin), tile(k_end)]
-        segs_v += [tile(v_begin), tile(v_end)]
         n_begin = n_end = Lep // block_k
     elif mode.is_inner:
-        c4 = cf.reshape(B, 1, 1, 1)
-        kb4, ke4 = tile(k_begin).astype(jnp.float32), tile(k_end).astype(jnp.float32)
-        vb4, ve4 = tile(v_begin).astype(jnp.float32), tile(v_end).astype(jnp.float32)
-        segs_k.append(((1.0 - c4) * kb4 + c4 * ke4).astype(q.dtype))
-        segs_v.append(((1.0 - c4) * vb4 + c4 * ve4).astype(q.dtype))
         n_begin, n_end = Lep // block_k, 0
     else:
         n_begin = n_end = 0
-
-    kv_k = segs_k[0] if len(segs_k) == 1 else jnp.concatenate(segs_k, axis=seq_ax)
-    kv_v = segs_v[0] if len(segs_v) == 1 else jnp.concatenate(segs_v, axis=seq_ax)
     n_steps = n_self + n_begin + n_end
-
-    # absolute valid end columns per phase in the packed stream
-    self_end = Lk
-    begin_end = n_self * block_k + Le
-    end_end = (n_self + n_begin) * block_k + Le
-    # inner's cross phase masks via the "begin" slot
-    lens = jnp.array([self_end, begin_end, end_end], jnp.int32)
+    Ltot = n_steps * block_k
 
     needs_mask = (include_self and Lkp != Lk) or (
         (mode.is_outer or mode.is_inner) and Lep != Le
@@ -733,7 +762,7 @@ def flash_interpolated_attention(
 
     # MXU-resident softmax normalizer lane (see kernel docstrings): the
     # ones-column goes in an existing zero pad lane (Dp > D — written ONCE
-    # into the packed stream here, so the kernels touch nothing), or widens
+    # into the stream here, so the kernels touch nothing), or widens
     # V by one lane inside the tile the PV dot pads to anyway (D < 128
     # unpadded — kernel-side pad). D % 128 == 0 (e.g. the VAE's D=512) has
     # no free lane — keep the VPU rowsum there.
@@ -741,11 +770,20 @@ def flash_interpolated_attention(
         den_col = -1
     else:
         den_col = D if Dp > D else Dp
-    if 0 <= den_col < Dp:
-        kv_v = kv_v.at[..., den_col].set(1.0)
 
-    Ltot = kv_k.shape[seq_ax]
-    if Ltot <= onepass_max:
+    def set_den_col(x):
+        return x.at[..., den_col].set(1.0) if 0 <= den_col < Dp else x
+
+    # outer modes with shared (3D) endpoints qualify for the split-endpoint
+    # one-pass path, which wins past the default routing threshold
+    # (_SPLIT_EP_ENABLE is a debugging escape hatch back to packed routing)
+    split_capable = (_SPLIT_EP_ENABLE and mode.is_outer
+                     and k_begin.ndim == 3 and v_begin.ndim == 3
+                     and k_end.ndim == 3 and v_end.ndim == 3)
+    onepass_limit = onepass_max
+    if split_capable and onepass_max:
+        onepass_limit = max(onepass_max, _SPLIT_ONEPASS_MAX)
+    if Ltot <= onepass_limit:
         # one-pass path (see _kernel_onepass): whole stream in one block,
         # heads looped in-kernel, grid over (B, head groups, q blocks).
         # Covers cross-attention and IP branches in EVERY mode plus short
@@ -771,7 +809,52 @@ def flash_interpolated_attention(
     smax_shift = None if static_smax is None else float(static_smax) * _fold
     smax_clip = None if static_smax is None else 30.0 * _fold
 
+    def pack_stream():
+        """Materialize the packed [own | begin | end] / [own | cross] KV
+        stream (endpoints broadcast to every row) + the absolute per-phase
+        valid lengths. Used by the streaming kernel and the non-split
+        one-pass paths (inner modes lerp per row; 4D endpoints are per-row
+        by definition)."""
+        segs_k, segs_v = [], []
+        if include_self:
+            segs_k.append(pad(k, seq_ax, Lkp))
+            segs_v.append(pad(v, seq_ax, Lkp))
+
+        def tile(x):  # shared 3D or per-row 4D endpoint -> padded (B, H, Lep, Dp)
+            x = pad(x, x.ndim + ep_seq_ax, Lep)
+            if x.ndim == 3:
+                x = jnp.broadcast_to(x[None], (B, H, Lep, Dp))
+            return x
+
+        if mode.is_outer:
+            segs_k += [tile(k_begin), tile(k_end)]
+            segs_v += [tile(v_begin), tile(v_end)]
+        elif mode.is_inner:
+            c4 = cf.reshape(B, 1, 1, 1)
+            kb4, ke4 = tile(k_begin).astype(jnp.float32), tile(k_end).astype(jnp.float32)
+            vb4, ve4 = tile(v_begin).astype(jnp.float32), tile(v_end).astype(jnp.float32)
+            segs_k.append(((1.0 - c4) * kb4 + c4 * ke4).astype(q.dtype))
+            segs_v.append(((1.0 - c4) * vb4 + c4 * ve4).astype(q.dtype))
+
+        kv_k = segs_k[0] if len(segs_k) == 1 else jnp.concatenate(segs_k, axis=seq_ax)
+        kv_v = set_den_col(segs_v[0] if len(segs_v) == 1
+                           else jnp.concatenate(segs_v, axis=seq_ax))
+        # absolute valid end columns per phase in the packed stream
+        # (inner's cross phase masks via the "begin" slot)
+        lens = jnp.array([Lk, n_self * block_k + Le,
+                          (n_self + n_begin) * block_k + Le], jnp.int32)
+        return kv_k, kv_v, lens
+
     if hgroup is not None:
+        # SPLIT-ENDPOINT path: outer modes with shared (3D) endpoints skip
+        # the packed-stream materialization entirely — own K/V ride through
+        # (pad-only; zero copies at block-aligned D=64 shapes) and both
+        # endpoint streams share ONE (H, 2*Lep, Dp) operand whose block
+        # index map ignores the batch dim, so the B-fold endpoint broadcast
+        # never exists in HBM. Measured -22% at fused@1024 and -30% at
+        # fused@4096 vs the packed paths (tools/opt4_results.jsonl
+        # r4split_* vs r4packg_*).
+        split_ep = split_capable
         kernel_scale1 = float(scale) * _fold
         k1 = functools.partial(
             _kernel_onepass, mode=mode, scale=kernel_scale1,
@@ -779,17 +862,38 @@ def flash_interpolated_attention(
             H=hgroup, exp_impl=exp_impl, needs_mask=needs_mask,
             unroll=short_unroll, den_col=den_col,
             smax_shift=smax_shift, smax_clip=smax_clip,
+            ep_cols=Lep if split_ep else 0,
         )
         q_spec1 = pl.BlockSpec((1, hgroup, block_q, Dp), lambda b, g, i, *_: (b, g, i, 0))
-        kv_spec1 = pl.BlockSpec((1, hgroup, Ltot, Dp), lambda b, g, i, *_: (b, g, 0, 0))
         if skip_endpoints is None or not mode.is_fused:
             skip1 = jnp.zeros((B,), jnp.int32)
         else:
             skip1 = skip_endpoints.astype(jnp.int32)
+        if split_ep:
+            def pad3(x):
+                return jnp.pad(x, ((0, 0), (0, Lep - x.shape[-2]), (0, Dp - D)))
+
+            ep_k3 = jnp.concatenate([pad3(k_begin), pad3(k_end)], axis=-2)
+            ep_v3 = set_den_col(jnp.concatenate([pad3(v_begin), pad3(v_end)], axis=-2))
+            lens1 = jnp.array([Lk, Le, Lep + Le], jnp.int32)
+            ep_spec = pl.BlockSpec((hgroup, 2 * Lep, Dp), lambda b, g, i, *_: (g, 0, 0))
+            in_specs1 = [q_spec1]
+            operands = [qp]
+            if n_self:  # pure_outer never reads the own stream — don't ship it
+                own_spec = pl.BlockSpec((1, hgroup, Lkp, Dp), lambda b, g, i, *_: (b, g, 0, 0))
+                in_specs1 += [own_spec, own_spec]
+                operands += [pad(k, seq_ax, Lkp), set_den_col(pad(v, seq_ax, Lkp))]
+            in_specs1 += [ep_spec, ep_spec]
+            operands += [ep_k3, ep_v3]
+        else:
+            kv_k, kv_v, lens1 = pack_stream()
+            kv_spec1 = pl.BlockSpec((1, hgroup, Ltot, Dp), lambda b, g, i, *_: (b, g, 0, 0))
+            in_specs1 = [q_spec1, kv_spec1, kv_spec1]
+            operands = [qp, kv_k, kv_v]
         grid_spec1 = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, H // hgroup, Sqp // block_q),
-            in_specs=[q_spec1, kv_spec1, kv_spec1],
+            in_specs=in_specs1,
             out_specs=q_spec1,
         )
         # whole-stream blocks at (1, H, 1024, Dp) x q/k/v/out exceed the
@@ -801,8 +905,10 @@ def flash_interpolated_attention(
             k1, grid_spec=grid_spec1,
             out_shape=jax.ShapeDtypeStruct((B, H, Sqp, Dp), q.dtype),
             compiler_params=cp1, interpret=interpret,
-        )(lens, cf, skip1, qp, kv_k, kv_v)
+        )(lens1, cf, skip1, *operands)
         return out[:, :, :Sq, :D]
+
+    kv_k, kv_v, lens = pack_stream()
 
     n_sets = 2 if mode.is_outer else 1
     n_m = 2 if (mode.is_outer and not mode.is_fused) else 1

@@ -416,3 +416,49 @@ def test_static_smax_bf16_incompatible():
                                        static_smax="auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["fused_outer", "pure_outer"])
+def test_split_endpoint_routing_region(mode):
+    """Outer modes with shared 3D endpoints route to the split-endpoint
+    one-pass kernel up to _SPLIT_ONEPASS_MAX (default onepass_max only
+    bounds the packed paths) — pin numerics in the newly-routed region
+    (Ltot > 3072) with non-block-aligned masking and skip rows."""
+    from aid_tpu.ops.attention import _softmax_attn
+
+    B, H, S, D = 3, 2, 1100, 64  # Ltot = 3 * 1152-pad > 3072
+    q, k, v, coef = _data(B, H, S, S, D, seed=31)
+    want = interpolated_attention(q, k, v, coef, mode)
+    got = flash_interpolated_attention(q, k, v, coef, mode, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    if mode == "fused_outer":
+        skip = jnp.array([True, False, True])
+        got_s = flash_interpolated_attention(q, k, v, coef, mode,
+                                             skip_endpoints=skip, interpret=True)
+        van = _softmax_attn(q, k, v, D ** -0.5)
+        np.testing.assert_allclose(np.asarray(got_s[0]), np.asarray(van[0]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_s[1]), np.asarray(want[1]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_split_escape_hatch_matches_packed():
+    """_SPLIT_EP_ENABLE=False (the debugging escape hatch back to packed
+    routing) must agree with the split path bit-for-tolerance — the split
+    layout is a pure data-movement optimization."""
+    import aid_tpu.ops.flash_attention as fa
+
+    q, k, v, coef = _data(3, 2, 640, 640, 64, seed=7)  # one-pass region
+    split = flash_interpolated_attention(q, k, v, coef, "fused_outer",
+                                         interpret=True)
+    assert fa._SPLIT_EP_ENABLE
+    try:
+        fa._SPLIT_EP_ENABLE = False
+        # distinct static arg so the jit cache can't serve the split trace
+        packed = flash_interpolated_attention(q, k, v, coef, "fused_outer",
+                                              interpret=True, short_unroll=2)
+    finally:
+        fa._SPLIT_EP_ENABLE = True
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(split),
+                               rtol=2e-4, atol=2e-4)
