@@ -54,6 +54,23 @@ FRAMES = 7
 LATENT = 128  # 1024px / 8
 
 
+def _random_params(shapes, dtype):
+    """Random-normal leaves (float leaves ~N(0, 0.02), others zero) — the
+    identical-FLOPs stand-in for converted checkpoints."""
+    import jax
+    import jax.numpy as jnp
+
+    counter = iter(range(10 ** 6))
+
+    def leaf(s):
+        if s.dtype not in (jnp.float32, jnp.bfloat16):
+            return jnp.zeros(s.shape, s.dtype)
+        k = jax.random.fold_in(jax.random.PRNGKey(6), next(counter))
+        return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
+
+    return jax.tree_util.tree_map(leaf, shapes)
+
+
 def main():
     from aid_tpu.models import UNet2DCondition, configs
     from aid_tpu.models.layers import AidMode
@@ -77,10 +94,13 @@ def main():
                             {k: v[:1] for k, v in added.items()}),
         jax.random.PRNGKey(3),
     )
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.01, dtype if s.dtype == jnp.float32 else s.dtype),
-        params,
-    )
+    # RANDOM normals, not constant fill: constant-filled params NaN both the
+    # SD1.5 AND SDXL UNets (activation growth through the GroupNorm/Dense
+    # stacks — round-2 finding, re-confirmed round 4 with a 2-step A/B:
+    # constant params NaN with old and new kernels alike, random params are
+    # finite). Same FLOPs/memory either way; the force() checksum assert
+    # below is only meaningful with finite activations.
+    params = _random_params(params, dtype)
 
     from aid_tpu.ops.interp import generate_beta_schedule
 
@@ -165,15 +185,7 @@ def main():
                                jnp.zeros((1, 77, sd_cfg.cross_attention_dim), dtype)),
         jax.random.PRNGKey(5),
     )
-    counter = iter(range(10 ** 6))
-
-    def rand_leaf(s):
-        if s.dtype not in (jnp.float32, jnp.bfloat16):
-            return jnp.zeros(s.shape, s.dtype)
-        k = jax.random.fold_in(jax.random.PRNGKey(6), next(counter))
-        return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
-
-    sd_params = jax.tree_util.tree_map(rand_leaf, sd_shapes)
+    sd_params = _random_params(sd_shapes, dtype)
     sd_sched = DDIMScheduler()
     sd_state = sd_sched.init(25)
 

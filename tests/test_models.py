@@ -22,6 +22,7 @@ def rngs():
 
 
 class TestUNet:
+    @pytest.mark.slow  # 40s+ compile: keeps the fast gate <180s (VERDICT r3 #9)
     def test_sd_shape_and_aid(self, rngs):
         cfg = configs.TINY_UNET
         model = UNet2DCondition(cfg)
@@ -231,6 +232,7 @@ class TestTiledDecode:
         assert out.shape == full.shape == (1, 40, 58, 3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-6)
 
+    @pytest.mark.slow  # 40s+ compile: keeps the fast gate <180s (VERDICT r3 #9)
     def test_single_tile_matches_plain_decode(self):
         """Real (random-weight) VAE: one tile covering the latent must equal
         the plain decode bit-exactly."""
@@ -261,6 +263,7 @@ class TestConvBackend:
     """conv_backend="xla" (GSPMD-safe, no pallas_call) must share the exact
     param tree and numerics with "auto" — mirrors attention_backend."""
 
+    @pytest.mark.slow  # 40s+ compile: keeps the fast gate <180s (VERDICT r3 #9)
     def test_xla_backend_matches_auto(self, rngs):
         cfg = configs.TINY_UNET
         auto = UNet2DCondition(cfg)

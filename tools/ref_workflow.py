@@ -49,9 +49,8 @@ def main():
         lambda r: unet.init(r, sample[:1], jnp.array(0), ehs[:1], None,
                             {k: v[:1] for k, v in added.items()}),
         jax.random.PRNGKey(3))
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.full(s.shape, 0.01, dtype if s.dtype == jnp.float32 else s.dtype),
-        params)
+    import bench
+    params = bench._random_params(params, dtype)  # finite activations (see bench.py)
 
     scheduler = EulerDiscreteScheduler()
     state = scheduler.init(NUM_STEPS)
@@ -66,7 +65,9 @@ def main():
             warmup_steps=NUM_STEPS // 2, added_cond=added)
 
     def force(out):
-        return float(jnp.sum(out.astype(jnp.float32)))
+        val = float(jnp.sum(out.astype(jnp.float32)))
+        assert val == val, f"non-finite reference-workflow checksum: {val}"
+        return val
 
     force(run(sample * state.init_noise_sigma))  # compile
     times = []
