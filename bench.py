@@ -44,10 +44,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_BASELINE_FRAMES_PER_SEC = 0.098  # estimated; bracket below (BASELINE.md)
 A100_BASELINE_BRACKET = (0.070, 0.106)
-SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC = 0.1508  # measured on this v5e
-# (round 3, tools/opt3_results.jsonl r3_same_chip_reference_workflow: the
-# reference's five-3-frame-runs recipe on THIS engine/kernels = 9.28 s per
-# 3-frame run; both sides of the ratio use the same round-3 kernels)
+SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC = 0.1522  # measured on this v5e
+# (round 4, tools/opt3_results.jsonl r3_same_chip_reference_workflow: the
+# reference's five-3-frame-runs recipe on THIS engine/kernels = 9.20 s per
+# 3-frame run; both sides of the ratio use the same round-4 split-endpoint
+# kernels and random-normal synthetic params)
 
 NUM_STEPS = 28
 FRAMES = 7
@@ -232,8 +233,8 @@ def main():
             round(frames_per_sec / A100_BASELINE_BRACKET[0], 2),
         ],
         # PRIMARY measured comparison: same chip running the reference's
-        # own five-3-frame-runs workflow (divisor constant above: 0.1508
-        # frames/s, re-measured with the round-3 kernels)
+        # own five-3-frame-runs workflow (divisor constant above,
+        # re-measured each round with the current kernels)
         "vs_same_chip_reference_workflow": round(
             frames_per_sec / SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC, 3),
         # BASELINE.json's second metric: p50 full-sequence latency

@@ -17,6 +17,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compile cache: the suite's cost is dominated by CPU XLA
+# compiles (each eager init op and every jitted denoise loop). Caching them
+# makes warm re-runs of the fast tier ~3x and of the slow tier far faster;
+# the cold gate timing is unaffected. Cache entries are keyed by HLO +
+# compile options, so code changes invalidate naturally. The CPU AOT loader
+# logs a benign feature-mismatch error per hit ("+prefer-no-scatter" is a
+# tuning hint the host-feature probe omits); pytest captures the noise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/aid_tpu_test_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 
 # Test tiering: compile-heavy modules are auto-marked slow so the default
 # CI gate (-m "not slow") stays fast; the full suite runs as a second job.

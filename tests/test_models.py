@@ -38,6 +38,7 @@ class TestUNet:
         out_aid = model.apply(params, sample, t, ehs, aid)
         assert out_aid.shape == out.shape
 
+    @pytest.mark.slow  # ~1 min: eager init + two full applies of the AID path
     def test_aid_endpoint_frames_match_vanilla(self, rngs):
         """Frames 0 and B-1 with coef 0/1 under fused_outer must equal the
         vanilla forward for those frames (endpoints are fixed points)."""
@@ -246,6 +247,7 @@ class TestTiledDecode:
         tiled = engine.decode_latents(vae, params, z, 0.18215, tile_latent_size=16)
         np.testing.assert_array_equal(np.asarray(full), np.asarray(tiled))
 
+    @pytest.mark.slow  # real-config VAE decode, heaviest single compile in the tier
     def test_real_vae_tiled_decode_finite_and_bounded(self):
         from aid_tpu.models import AutoencoderKL, configs
         from aid_tpu.pipelines import engine
