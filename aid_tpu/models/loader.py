@@ -375,7 +375,15 @@ def load_single_file_pipeline(
             text_encoder=text, text_params=text_params,
             tokenizer=load_tokenizer(tokenizer_path),
             text_encoder_2=text2, text_params_2=text2_params,
-            tokenizer_2=load_tokenizer(tokenizer_2_path or tokenizer_path),
+            # SDXL's tokenizer_2 pads with "!" (id 0), NOT EOS. When only an
+            # SD-style tokenizer dir is supplied, its config would silently
+            # impose EOS padding on the bigG encoder — whose pad-position
+            # hidden states feed cross-attention for every short prompt
+            # (reference pipeline_interpolated_sdxl.py:644-730) — so force
+            # the SDXL pad convention unless an explicit tokenizer_2 dir
+            # provides its own config.
+            tokenizer_2=(load_tokenizer(tokenizer_2_path) if tokenizer_2_path
+                         else load_tokenizer(tokenizer_path, pad_token="!")),
             scheduler=scheduler,
             guidance_scale=5.0 if guidance_scale is None else guidance_scale,
         )

@@ -105,30 +105,92 @@ FLASH_MIN_KV = 512
 FLASH_KERNEL_OVERRIDES: dict = {}
 
 # Static-shift calibration hook: when set to a callable ``fn(lo, hi)``,
-# every dispatch_attention call probes the row-max window of its scaled
-# logits over the FULL packed K stream (own K for self/fused + both
-# endpoints for interpolated modes) and reports it via jax.debug.callback.
-# Exact for self/outer modes; for inner modes the lerped-K row max is
-# bounded above by the probed max (q.(lerp(kb,ke)) is a convex combination
-# of q.kb and q.ke). tools/hw_smoke.py --logit-window uses this to produce
-# the measured evidence behind the static_smax="auto" model-path default.
+# every dispatch_attention call probes the window of PER-ACCUMULATOR-SET
+# row maxes of its scaled logits and reports it via jax.debug.callback.
+# Each softmax the kernel evaluates is normalized over its own key set
+# ([kb] and [ke] for pure_outer; [k;kb] and [k;ke] for fused_outer;
+# lerp(kb,ke) / [k;lerp] for inner modes), so exactness under a static
+# shift requires EVERY set's row max in-window — a union over the packed
+# stream would hide a set whose row max sits below C-72 behind another
+# set's larger max. For inner modes the lerped row max is bracketed
+# soundly: above by max(rowmax_b, rowmax_e), below by the row max of the
+# elementwise MIN of the two logit matrices (lerp_j >= min(b_j, e_j)
+# pointwise for t in [0,1]). tools/hw_smoke.py --logit-window uses this to
+# produce the measured evidence behind the static_smax="auto" model-path
+# default.
 LOGIT_WINDOW_RECORDER = None
+
+
+def _row_maxes(q, k, scale, q_block=512, pair=None):
+    """Per-(batch*head, q-row) max of the scaled logits ``q @ k^T * scale``
+    as a (N, Sq_padded) array (padding duplicates row 0 — min/max
+    invariant). With ``pair`` (a second K of identical shape), returns row
+    maxes of the ELEMENTWISE MIN of the two logit matrices instead — the
+    sound lower bound for lerped keys. Chunked over q blocks so logits
+    never exceed (q_block, L) per (batch, head)."""
+    *_, Sq, D = q.shape
+    L = k.shape[-2]
+    qf = q.reshape(-1, Sq, D).astype(jnp.float32)
+
+    def flat_k(x):
+        return jnp.broadcast_to(
+            x.astype(jnp.float32), tuple(q.shape[:-2]) + (L, D)).reshape(-1, L, D)
+
+    kf = flat_k(k)
+    pf = flat_k(pair) if pair is not None else kf
+    nqb = -(-Sq // q_block)
+    pad = nqb * q_block - Sq
+    qf = jnp.concatenate([qf, jnp.broadcast_to(qf[:, :1], (qf.shape[0], pad, D))],
+                         axis=1) if pad else qf
+
+    def per_bh(args):
+        qb, kb, pb = args  # (Sq_padded, D), (L, D), (L, D)
+
+        def qchunk(c, qs):  # (q_block, D)
+            logits = qs @ kb.T
+            if pair is not None:
+                logits = jnp.minimum(logits, qs @ pb.T)
+            return c, jnp.max(logits * jnp.float32(scale), axis=-1)
+
+        _, m = jax.lax.scan(qchunk, 0, qb.reshape(nqb, q_block, D))
+        return m.reshape(-1)
+
+    return jax.lax.map(per_bh, (qf, kf, pf))
 
 
 def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale):
     mode = AttnMode(mode)
-    segs = []
-    if mode in (AttnMode.SELF, AttnMode.FUSED_OUTER, AttnMode.FUSED_INNER):
-        segs.append(k)
-    if mode != AttnMode.SELF:
-        for ep, row in ((k_begin, 0), (k_end, -1)):
-            e = k[row] if ep is None else ep
-            if e.ndim < k.ndim:
-                e = jnp.broadcast_to(e[None], k.shape[:1] + e.shape)
-            segs.append(e)
-    ks = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-2)
-    lo, hi = attention_logit_window(q, ks, scale)
-    jax.debug.callback(LOGIT_WINDOW_RECORDER, lo, hi)
+    if mode == AttnMode.SELF:
+        own = _row_maxes(q, k, scale)
+        lo, hi = jnp.min(own), jnp.max(own)
+        jax.debug.callback(LOGIT_WINDOW_RECORDER, lo, hi)
+        return
+
+    def ep(x, row):
+        e = k[row] if x is None else x
+        if e.ndim < k.ndim:
+            e = jnp.broadcast_to(e[None], k.shape[:1] + e.shape)
+        return e
+
+    kb, ke = ep(k_begin, 0), ep(k_end, -1)
+    mb, me = _row_maxes(q, kb, scale), _row_maxes(q, ke, scale)
+    if mode == AttnMode.PURE_OUTER:
+        # two independent softmaxes over [kb] and [ke]
+        low, up = jnp.minimum(mb, me), jnp.maximum(mb, me)
+    elif mode == AttnMode.FUSED_OUTER:
+        # two independent softmaxes over [k; kb] and [k; ke]
+        mown = _row_maxes(q, k, scale)
+        s1, s2 = jnp.maximum(mown, mb), jnp.maximum(mown, me)
+        low, up = jnp.minimum(s1, s2), jnp.maximum(s1, s2)
+    else:
+        # inner modes: one softmax over lerp(kb, ke) (optionally fused with
+        # own K); bracket the unknown-t lerped row max per row
+        mmin = _row_maxes(q, kb, scale, pair=ke)
+        low, up = mmin, jnp.maximum(mb, me)
+        if mode == AttnMode.FUSED_INNER:
+            mown = _row_maxes(q, k, scale)
+            low, up = jnp.maximum(mown, low), jnp.maximum(mown, up)
+    jax.debug.callback(LOGIT_WINDOW_RECORDER, jnp.min(low), jnp.max(up))
 
 
 def dispatch_attention(
@@ -314,27 +376,5 @@ def attention_logit_window(q: jnp.ndarray, k: jnp.ndarray,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    *_, Sq, D = q.shape
-    L = k.shape[-2]
-    qf = q.reshape(-1, Sq, D).astype(jnp.float32)
-    kf = jnp.broadcast_to(
-        k.astype(jnp.float32), tuple(q.shape[:-2]) + (L, D)).reshape(-1, L, D)
-    nqb = -(-Sq // q_block)
-    # pad q by repeating row 0: duplicate rows only duplicate row maxes,
-    # which is min/max-invariant
-    pad = nqb * q_block - Sq
-    qf = jnp.concatenate([qf, jnp.broadcast_to(qf[:, :1], (qf.shape[0], pad, D))],
-                         axis=1) if pad else qf
-
-    def per_bh(args):
-        qb, kb = args  # (Sq_padded, D), (L, D)
-
-        def qchunk(c, qs):  # (q_block, D)
-            m = jnp.max(qs @ kb.T * jnp.float32(scale), axis=-1)
-            return c, (jnp.min(m), jnp.max(m))
-
-        _, (lo, hi) = jax.lax.scan(qchunk, 0, qb.reshape(nqb, q_block, D))
-        return jnp.min(lo), jnp.max(hi)
-
-    lo, hi = jax.lax.map(per_bh, (qf, kf))
-    return jnp.min(lo), jnp.max(hi)
+    m = _row_maxes(q, k, scale, q_block)
+    return jnp.min(m), jnp.max(m)

@@ -122,14 +122,17 @@ class InterpolationXLPipeline(InterpolationPipeline):
         reused — sdxl:1733)."""
         time_ids = self._time_ids(batch, height, width, original_size,
                                   crops_coords_top_left, target_size)
-        if (negative_original_size is None and negative_target_size is None
-                and tuple(negative_crops_coords_top_left) == (0, 0)):
+        # Reference semantics (sdxl:1474, :2121): neg ids are built ONLY
+        # when negative_original_size AND negative_target_size are both
+        # supplied; otherwise the positive ids are reused — a lone negative
+        # size or crop is ignored, not mixed with positive defaults.
+        if negative_original_size is None or negative_target_size is None:
             return time_ids, time_ids
         neg_ids = self._time_ids(
             batch, height, width,
-            negative_original_size or original_size,
+            negative_original_size,
             negative_crops_coords_top_left,
-            negative_target_size or target_size)
+            negative_target_size)
         return time_ids, neg_ids
 
     def _cond_kwargs(self, prompt: str, negative_prompt: str, batch: int,

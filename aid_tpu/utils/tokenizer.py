@@ -167,10 +167,14 @@ def _read_pad_token(path: str) -> str | None:
     return None
 
 
-def load_tokenizer(path: str, max_length: int = 77):
+def load_tokenizer(path: str, max_length: int = 77,
+                   pad_token: str | None = None):
     """Load a CLIP tokenizer from a checkpoint ``tokenizer/`` directory,
-    honoring its configured pad token."""
+    honoring its configured pad token. ``pad_token`` overrides the
+    directory's config — used when an SD tokenizer directory stands in
+    for SDXL's ``tokenizer_2`` (whose pad is "!", id 0, not EOS)."""
     return CLIPBPETokenizer(
         os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"),
-        max_length, pad_token=_read_pad_token(path),
+        max_length,
+        pad_token=pad_token if pad_token is not None else _read_pad_token(path),
     )

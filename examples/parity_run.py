@@ -45,7 +45,13 @@ def main():
     ap.add_argument("--it", type=float, default=0.5)
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--warmup-ratio", type=float, default=0.5)
-    ap.add_argument("--guidance", type=float, default=7.5)
+    ap.add_argument("--guidance", type=float, default=None,
+                    help="default: the family default (SD 7.5, SDXL 5.0)")
+    ap.add_argument("--scheduler", default="auto",
+                    help="default 'auto' = the checkpoint-pinned scheduler "
+                         "class, exactly like the reference's from_pretrained; "
+                         "override (ddim/unipc/euler/edm) only if the torch-"
+                         "side export overrode it too")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="out/parity")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -64,7 +70,8 @@ def main():
         load_reference_latents,
     )
 
-    pipe = load_interpolation_pipeline(args.checkpoint, scheduler_name="ddim",
+    pipe = load_interpolation_pipeline(args.checkpoint,
+                                       scheduler_name=args.scheduler,
                                        guidance_scale=args.guidance)
     is_xl = hasattr(pipe, "text_encoder_2") and pipe.text_encoder_2 is not None
     if args.sdxl and not is_xl:

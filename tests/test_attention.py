@@ -3,6 +3,7 @@ oracle implementing the exact reference formulas
 (reference interpolation.py:548-679 outer, :682-804 inner).
 SURVEY.md §4 'Kernel'."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -140,6 +141,88 @@ def test_attention_logit_window_stats():
     rm = s.max(-1)
     np.testing.assert_allclose(float(lo), rm.min(), rtol=1e-5)
     np.testing.assert_allclose(float(hi), rm.max(), rtol=1e-5)
+
+
+class TestProbeLogitWindowPerSet:
+    """The calibration probe must certify PER-ACCUMULATOR-SET row maxes:
+    each softmax the kernel evaluates normalizes over its own key set, so
+    a set whose row max sits below C-72 must drag the reported lo down
+    even when another set's larger max would dominate a packed-union
+    probe (code-review r4: union row max hid the lower edge)."""
+
+    def _window(self, q, k, mode, k_begin, k_end):
+        import importlib
+
+        # NB: `import aid_tpu.ops.attention as A` would bind the package's
+        # re-exported `attention` FUNCTION, not the submodule
+        A = importlib.import_module("aid_tpu.ops.attention")
+
+        acc = []
+        A.LOGIT_WINDOW_RECORDER = lambda lo, hi: acc.append((float(lo), float(hi)))
+        try:
+            A._probe_logit_window(q, k, None, mode, k_begin, k_end,
+                                  q.shape[-1] ** -0.5)
+            jax.effects_barrier()
+        finally:
+            A.LOGIT_WINDOW_RECORDER = None
+        (lo, hi), = acc
+        return lo, hi
+
+    def test_pure_outer_low_segment_not_hidden(self):
+        rng = np.random.default_rng(7)
+        B, H, S, D = 3, 2, 16, 8
+        q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+        kb = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        ke = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        lo, hi = self._window(q, q, "pure_outer", kb, ke)
+        # exact per-set answer: lo = min over rows/sets of that set's row max
+        sc = np.float64(D) ** -0.5
+        qn = np.asarray(q, np.float64)
+        mb = (qn @ np.asarray(jnp.broadcast_to(kb, q.shape), np.float64).swapaxes(-1, -2) * sc).max(-1)
+        me = (qn @ np.asarray(jnp.broadcast_to(ke, q.shape), np.float64).swapaxes(-1, -2) * sc).max(-1)
+        np.testing.assert_allclose(lo, np.minimum(mb, me).min(), rtol=1e-5)
+        np.testing.assert_allclose(hi, np.maximum(mb, me).max(), rtol=1e-5)
+        # strictly below what the old packed-union probe reported (the
+        # union's per-row max is max(mb, me), hiding the lower set)
+        assert lo < np.maximum(mb, me).min() - 1e-6
+
+    def test_fused_outer_sets_include_own_k(self):
+        rng = np.random.default_rng(8)
+        B, H, S, D = 3, 2, 16, 8
+        q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+        kb = k[0] - 60.0
+        ke = k[-1]
+        lo, hi = self._window(q, k, "fused_outer", kb, ke)
+        sc = np.float64(D) ** -0.5
+        qn = np.asarray(q, np.float64)
+        mo = (qn @ np.asarray(k, np.float64).swapaxes(-1, -2) * sc).max(-1)
+        mb = (qn @ np.asarray(jnp.broadcast_to(kb, k.shape[1:]), np.float64).swapaxes(-1, -2) * sc).max(-1)
+        me = (qn @ np.asarray(jnp.broadcast_to(ke, k.shape[1:]), np.float64).swapaxes(-1, -2) * sc).max(-1)
+        s1, s2 = np.maximum(mo, mb), np.maximum(mo, me)
+        # fused sets softmax over [k; endpoint]: own K floors both sets, so
+        # the -60 endpoint cannot drag lo below the own-K row max
+        np.testing.assert_allclose(lo, np.minimum(s1, s2).min(), rtol=1e-5)
+        np.testing.assert_allclose(hi, np.maximum(s1, s2).max(), rtol=1e-5)
+
+    def test_inner_lower_bound_is_elementwise_min(self):
+        rng = np.random.default_rng(9)
+        B, H, S, D = 3, 2, 16, 8
+        q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+        kb = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        ke = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        lo, hi = self._window(q, q, "pure_inner", kb, ke)
+        sc = np.float64(D) ** -0.5
+        qn = np.asarray(q, np.float64)
+        lb = qn @ np.asarray(jnp.broadcast_to(kb, q.shape), np.float64).swapaxes(-1, -2) * sc
+        le = qn @ np.asarray(jnp.broadcast_to(ke, q.shape), np.float64).swapaxes(-1, -2) * sc
+        np.testing.assert_allclose(lo, np.minimum(lb, le).max(-1).min(), rtol=1e-5)
+        np.testing.assert_allclose(
+            hi, np.maximum(lb.max(-1), le.max(-1)).max(), rtol=1e-5)
+        # soundness vs every t: the true lerped row max stays inside [lo, hi]
+        for t in (0.0, 0.25, 0.5, 0.75, 1.0):
+            rm = ((1 - t) * lb + t * le).max(-1)
+            assert lo <= rm.min() + 1e-9 and rm.max() <= hi + 1e-9
 
 
 class TestDispatchForceVanilla:

@@ -1,6 +1,7 @@
 """Integration tests: tiny random-weight pipeline end-to-end under jit
 (SURVEY.md §4 'Integration')."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -321,10 +322,32 @@ class TestStaticSmaxEndToEnd:
         kw = dict(prompt_start="a cat", prompt_end="a dog",
                   num_inference_steps=2, seed=3)
 
+        # FLASH_KERNEL_OVERRIDES is read at TRACE time only: without
+        # clearing the jit caches, the second call would reuse the first
+        # call's compiled program (and the first could reuse a prior
+        # test's xla-path program), comparing a program with itself.
+        # Count kernel traces to prove both runs actually re-traced it.
+        from aid_tpu.ops import flash_attention as fa_mod
+
+        traces = []
+        real = fa_mod.flash_interpolated_attention
+
+        def counting(*a, **k):
+            traces.append(k.get("static_smax", "auto"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(fa_mod, "flash_interpolated_attention", counting)
+
+        jax.clear_caches()
         monkeypatch.setattr(attn_mod, "FLASH_KERNEL_OVERRIDES",
                             {"interpret": True})
         auto = pipe.interpolate_single(0.5, **kw)
+        n_auto = len(traces)
+        assert n_auto > 0 and all(s == "auto" for s in traces)
+
+        jax.clear_caches()
         monkeypatch.setattr(attn_mod, "FLASH_KERNEL_OVERRIDES",
                             {"interpret": True, "static_smax": None})
         exact = pipe.interpolate_single(0.5, **kw)
+        assert len(traces) > n_auto and all(s is None for s in traces[n_auto:])
         np.testing.assert_allclose(auto.astype(int), exact.astype(int), atol=1)

@@ -407,7 +407,8 @@ class TestSDXLParityHooks:
             3, 16, 16,
             original_size=(32, 32), crops_coords_top_left=(1, 2),
             negative_original_size=(8, 8),
-            negative_crops_coords_top_left=(3, 4))
+            negative_crops_coords_top_left=(3, 4),
+            negative_target_size=(16, 16))
         base_cond, base_uncond = xl_pipe._time_ids_pair(
             3, 16, 16, original_size=(32, 32), crops_coords_top_left=(1, 2))
         # cond ids are identical with or without the negative family
@@ -415,10 +416,15 @@ class TestSDXLParityHooks:
         np.testing.assert_array_equal(
             np.asarray(cond[0]), [32, 32, 1, 2, 16, 16])
         # only the uncond ids pick up the negative micro-conditioning
-        # (missing negative_target_size falls back to the positive one)
         np.testing.assert_array_equal(
             np.asarray(uncond[0]), [8, 8, 3, 4, 16, 16])
         np.testing.assert_array_equal(np.asarray(base_uncond), np.asarray(base_cond))
+        # reference semantics (sdxl:1474, :2121): a lone negative size (or
+        # crop) is IGNORED — neg ids require original AND target together
+        _, un_partial = xl_pipe._time_ids_pair(
+            3, 16, 16, original_size=(32, 32), crops_coords_top_left=(1, 2),
+            negative_original_size=(8, 8))
+        np.testing.assert_array_equal(np.asarray(un_partial), np.asarray(base_cond))
 
     def test_micro_conditioning_flows_to_output(self, xl_pipe):
         kw = dict(prompt_start="a", prompt_end="b", num_inference_steps=2, seed=0)
@@ -427,5 +433,6 @@ class TestSDXLParityHooks:
             0.5, original_size=(64, 64), crops_coords_top_left=(4, 4), **kw)
         assert np.any(base != changed)
         neg_changed = xl_pipe.interpolate_single(
-            0.5, negative_original_size=(64, 64), **kw)
+            0.5, negative_original_size=(64, 64), negative_target_size=(16, 16),
+            **kw)
         assert np.any(base != neg_changed)

@@ -2,7 +2,11 @@
 
 Runs the bench's exact SDXL config at 2 steps, printing the checksum with
 (a) the working-tree routing (split-endpoint one-pass path active) and
-(b) the split path disabled (_SPLIT_ONEPASS_MAX=0 -> old packed routing).
+(b) the split path disabled (_SPLIT_EP_ENABLE=False -> old packed
+routing). jax caches are CLEARED between configs: _SPLIT_EP_ENABLE is
+read at trace time only, so without clearing, a second config with
+identical avals would silently reuse the first config's compiled program
+and the A/B would compare a program with itself.
 Usage: python tools/nan_repro.py [split|nosplit|f32|randparams] ...
 """
 import os
@@ -38,15 +42,12 @@ def run(tag, steps=2, randparams=False, dtype=jnp.bfloat16):
                             {k: v[:1] for k, v in added.items()}),
         jax.random.PRNGKey(3))
     if randparams:
-        counter = iter(range(10 ** 6))
+        # the ONE synthetic-params sampler, shared with the bench: the
+        # NaN-vs-params evidence chain depends on every tool sampling
+        # identical params
+        import bench
 
-        def leaf(s):
-            if s.dtype not in (jnp.float32, jnp.bfloat16):
-                return jnp.zeros(s.shape, s.dtype)
-            k = jax.random.fold_in(jax.random.PRNGKey(6), next(counter))
-            return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
-
-        params = jax.tree_util.tree_map(leaf, shapes)
+        params = bench._random_params(shapes, dtype)
     else:
         params = jax.tree_util.tree_map(
             lambda s: jnp.full(s.shape, 0.01, dtype if s.dtype == jnp.float32 else s.dtype),
@@ -69,6 +70,7 @@ if __name__ == "__main__":
     which = sys.argv[1:] or ["split"]
     import aid_tpu.ops.flash_attention as fa
     for w in which:
+        jax.clear_caches()  # routing flags are trace-time; see docstring
         if w == "nosplit":
             fa._SPLIT_EP_ENABLE = False
             run("nosplit")

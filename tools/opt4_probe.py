@@ -57,15 +57,10 @@ def run_workload(tag, cfgname, latent, steps, frames, guidance):
     shapes = jax.eval_shape(
         lambda r: unet.init(r, sample[:1], jnp.array(0), ehs[:1], None, init_added),
         jax.random.PRNGKey(3))
-    counter = iter(range(10 ** 6))
+    import bench
 
-    def rand_leaf(s):
-        if s.dtype not in (jnp.float32, jnp.bfloat16):
-            return jnp.zeros(s.shape, s.dtype)
-        k = jax.random.fold_in(jax.random.PRNGKey(6), next(counter))
-        return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
-
-    params = jax.tree_util.tree_map(rand_leaf, shapes)
+    # shared sampler: probes must use the bench's exact synthetic params
+    params = bench._random_params(shapes, dtype)
     scheduler = EulerDiscreteScheduler()
     state = scheduler.init(steps)
     coef = jnp.asarray(generate_beta_schedule(frames, steps, steps, force_endpoints=True))
