@@ -321,9 +321,11 @@ def load_single_file_pipeline(
     SDXL layout is auto-detected from its conditioner.embedders.* keys).
     The original format carries no tokenizer, so a local tokenizer
     directory (any SD checkpoint's tokenizer/ subfolder) must be supplied
-    — and for SDXL a ``tokenizer_2_path`` (defaults to ``tokenizer_path``:
-    both SDXL tokenizers share the CLIP BPE vocab, differing only in pad
-    token, which load_tokenizer reads per-directory)."""
+    — and for SDXL a ``tokenizer_2_path``. When ``tokenizer_2_path`` is
+    omitted, ``tokenizer_path``'s vocab is reused but the pad token is
+    FORCED to SDXL's tokenizer_2 convention "!" (id 0) — an SD tokenizer
+    directory's own config (EOS pad) must not govern the bigG encoder;
+    an explicit ``tokenizer_2_path`` keeps its per-directory config."""
     from aid_tpu.models.params import (
         convert_clip_text_state_dict,
         convert_ldm_checkpoint,

@@ -174,12 +174,12 @@ def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale):
 
     kb, ke = ep(k_begin, 0), ep(k_end, -1)
     mb, me = _row_maxes(q, kb, scale), _row_maxes(q, ke, scale)
+    mown = _row_maxes(q, k, scale)
     if mode == AttnMode.PURE_OUTER:
         # two independent softmaxes over [kb] and [ke]
         low, up = jnp.minimum(mb, me), jnp.maximum(mb, me)
     elif mode == AttnMode.FUSED_OUTER:
         # two independent softmaxes over [k; kb] and [k; ke]
-        mown = _row_maxes(q, k, scale)
         s1, s2 = jnp.maximum(mown, mb), jnp.maximum(mown, me)
         low, up = jnp.minimum(s1, s2), jnp.maximum(s1, s2)
     else:
@@ -188,8 +188,14 @@ def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale):
         mmin = _row_maxes(q, kb, scale, pair=ke)
         low, up = mmin, jnp.maximum(mb, me)
         if mode == AttnMode.FUSED_INNER:
-            mown = _row_maxes(q, k, scale)
             low, up = jnp.maximum(mown, low), jnp.maximum(mown, up)
+    # skip_endpoints / force_vanilla rows reduce the kernel's softmax to the
+    # own-K-only set (the duplicated-KV identity) while the static shift
+    # still applies, and the probe cannot see which rows those are — so the
+    # own-K set must be covered unconditionally for every mode. Slightly
+    # conservative for calls without skip rows (widens the window toward
+    # the vanilla one), never unsound.
+    low, up = jnp.minimum(low, mown), jnp.maximum(up, mown)
     jax.debug.callback(LOGIT_WINDOW_RECORDER, jnp.min(low), jnp.max(up))
 
 

@@ -175,16 +175,21 @@ class TestProbeLogitWindowPerSet:
         kb = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
         ke = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
         lo, hi = self._window(q, q, "pure_outer", kb, ke)
-        # exact per-set answer: lo = min over rows/sets of that set's row max
+        # exact per-set answer: lo = min over rows/sets of that set's row
+        # max; the own-K set (here q@q^T) is always included because skip /
+        # force-vanilla rows softmax over own K only
         sc = np.float64(D) ** -0.5
         qn = np.asarray(q, np.float64)
+        mo = (qn @ qn.swapaxes(-1, -2) * sc).max(-1)
         mb = (qn @ np.asarray(jnp.broadcast_to(kb, q.shape), np.float64).swapaxes(-1, -2) * sc).max(-1)
         me = (qn @ np.asarray(jnp.broadcast_to(ke, q.shape), np.float64).swapaxes(-1, -2) * sc).max(-1)
-        np.testing.assert_allclose(lo, np.minimum(mb, me).min(), rtol=1e-5)
-        np.testing.assert_allclose(hi, np.maximum(mb, me).max(), rtol=1e-5)
+        np.testing.assert_allclose(
+            lo, np.minimum(np.minimum(mb, me), mo).min(), rtol=1e-5)
+        np.testing.assert_allclose(
+            hi, np.maximum(np.maximum(mb, me), mo).max(), rtol=1e-5)
         # strictly below what the old packed-union probe reported (the
-        # union's per-row max is max(mb, me), hiding the lower set)
-        assert lo < np.maximum(mb, me).min() - 1e-6
+        # union's per-row max is max(mb, me, mo), hiding the lower set)
+        assert lo < np.maximum(np.maximum(mb, me), mo).min() - 1e-6
 
     def test_fused_outer_sets_include_own_k(self):
         rng = np.random.default_rng(8)
@@ -200,10 +205,13 @@ class TestProbeLogitWindowPerSet:
         mb = (qn @ np.asarray(jnp.broadcast_to(kb, k.shape[1:]), np.float64).swapaxes(-1, -2) * sc).max(-1)
         me = (qn @ np.asarray(jnp.broadcast_to(ke, k.shape[1:]), np.float64).swapaxes(-1, -2) * sc).max(-1)
         s1, s2 = np.maximum(mo, mb), np.maximum(mo, me)
-        # fused sets softmax over [k; endpoint]: own K floors both sets, so
-        # the -60 endpoint cannot drag lo below the own-K row max
-        np.testing.assert_allclose(lo, np.minimum(s1, s2).min(), rtol=1e-5)
-        np.testing.assert_allclose(hi, np.maximum(s1, s2).max(), rtol=1e-5)
+        # fused sets softmax over [k; endpoint]; skip/force-vanilla rows
+        # softmax over own K alone, so the own-K set joins unconditionally
+        # (min(s1, s2) >= mo per row, so lo reduces to mo.min())
+        np.testing.assert_allclose(
+            lo, np.minimum(np.minimum(s1, s2), mo).min(), rtol=1e-5)
+        np.testing.assert_allclose(
+            hi, np.maximum(np.maximum(s1, s2), mo).max(), rtol=1e-5)
 
     def test_inner_lower_bound_is_elementwise_min(self):
         rng = np.random.default_rng(9)
@@ -214,11 +222,13 @@ class TestProbeLogitWindowPerSet:
         lo, hi = self._window(q, q, "pure_inner", kb, ke)
         sc = np.float64(D) ** -0.5
         qn = np.asarray(q, np.float64)
+        mo = (qn @ qn.swapaxes(-1, -2) * sc).max(-1)  # own-K set (skip rows)
         lb = qn @ np.asarray(jnp.broadcast_to(kb, q.shape), np.float64).swapaxes(-1, -2) * sc
         le = qn @ np.asarray(jnp.broadcast_to(ke, q.shape), np.float64).swapaxes(-1, -2) * sc
-        np.testing.assert_allclose(lo, np.minimum(lb, le).max(-1).min(), rtol=1e-5)
         np.testing.assert_allclose(
-            hi, np.maximum(lb.max(-1), le.max(-1)).max(), rtol=1e-5)
+            lo, np.minimum(np.minimum(lb, le).max(-1), mo).min(), rtol=1e-5)
+        np.testing.assert_allclose(
+            hi, np.maximum(np.maximum(lb.max(-1), le.max(-1)), mo).max(), rtol=1e-5)
         # soundness vs every t: the true lerped row max stays inside [lo, hi]
         for t in (0.0, 0.25, 0.5, 0.75, 1.0):
             rm = ((1 - t) * lb + t * le).max(-1)
