@@ -158,7 +158,8 @@ def _row_maxes(q, k, scale, q_block=512, pair=None):
     return jax.lax.map(per_bh, (qf, kf, pf))
 
 
-def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale):
+def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale,
+                        skip_endpoints=None, force_vanilla=None):
     mode = AttnMode(mode)
     if mode == AttnMode.SELF:
         own = _row_maxes(q, k, scale)
@@ -172,9 +173,25 @@ def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale):
             e = jnp.broadcast_to(e[None], k.shape[:1] + e.shape)
         return e
 
+    # force_vanilla rows reduce to the own-K-only softmax set (the
+    # duplicated-KV identity / fused-mode skip predication) on ARBITRARY
+    # rows, so the own-K set must be covered whenever the caller passes it.
+    # A skip vector ALONE needs no widening: pure skip rows' endpoint K/V
+    # *is* their own K/V (coef-0/1 frames, batched-CFG uncond rows, sharded
+    # boundary frames — every constructor in models/layers.py), so the
+    # own-K set those rows evaluate is already one of the probed endpoint
+    # sets; the only skip rows violating that are folded-in force_vanilla
+    # rows, and layers always passes force_vanilla alongside. Calls that
+    # can never reduce keep the tight per-set window — an unconditional
+    # widening would spuriously disqualify configs whose endpoint sets are
+    # in-window but whose vanilla diagonal strays (code-review r4 #3).
+    del skip_endpoints
+    may_own = force_vanilla is not None
+
     kb, ke = ep(k_begin, 0), ep(k_end, -1)
     mb, me = _row_maxes(q, kb, scale), _row_maxes(q, ke, scale)
-    mown = _row_maxes(q, k, scale)
+    mown = (_row_maxes(q, k, scale)
+            if (mode.is_fused or may_own) else None)
     if mode == AttnMode.PURE_OUTER:
         # two independent softmaxes over [kb] and [ke]
         low, up = jnp.minimum(mb, me), jnp.maximum(mb, me)
@@ -182,21 +199,56 @@ def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale):
         # two independent softmaxes over [k; kb] and [k; ke]
         s1, s2 = jnp.maximum(mown, mb), jnp.maximum(mown, me)
         low, up = jnp.minimum(s1, s2), jnp.maximum(s1, s2)
-    else:
-        # inner modes: one softmax over lerp(kb, ke) (optionally fused with
-        # own K); bracket the unknown-t lerped row max per row
-        mmin = _row_maxes(q, kb, scale, pair=ke)
-        low, up = mmin, jnp.maximum(mb, me)
-        if mode == AttnMode.FUSED_INNER:
-            low, up = jnp.maximum(mown, low), jnp.maximum(mown, up)
-    # skip_endpoints / force_vanilla rows reduce the kernel's softmax to the
-    # own-K-only set (the duplicated-KV identity) while the static shift
-    # still applies, and the probe cannot see which rows those are — so the
-    # own-K set must be covered unconditionally for every mode. Slightly
-    # conservative for calls without skip rows (widens the window toward
-    # the vanilla one), never unsound.
-    low, up = jnp.minimum(low, mown), jnp.maximum(up, mown)
+    elif mode == AttnMode.FUSED_INNER:
+        # one softmax over [k; lerp(kb, ke)]; the unknown-t lerped row max
+        # is bracketed above by max(mb, me) and below by the row max of the
+        # elementwise MIN of the two logit matrices — but when skip rows are
+        # possible the lower edge collapses to mown anyway
+        # (min(max(mown, mmin), mown) == mown), so skip the pair pass then
+        up = jnp.maximum(mown, jnp.maximum(mb, me))
+        low = (mown if may_own
+               else jnp.maximum(mown, _row_maxes(q, kb, scale, pair=ke)))
+    else:  # PURE_INNER: one softmax over lerp(kb, ke)
+        low, up = _row_maxes(q, kb, scale, pair=ke), jnp.maximum(mb, me)
+    if may_own:
+        low = jnp.minimum(low, mown)
+        if not mode.is_fused:  # fused up already >= mown structurally
+            up = jnp.maximum(up, mown)
     jax.debug.callback(LOGIT_WINDOW_RECORDER, jnp.min(low), jnp.max(up))
+
+
+def _bcast_force(force_vanilla):
+    """Broadcastable forced-row predicate: scalar passes through; a (B,)
+    row vector gains trailing axes so it selects whole (B, H, S, D) rows."""
+    fv = jnp.asarray(force_vanilla)
+    return fv if fv.ndim == 0 else fv.reshape(fv.shape[0], 1, 1, 1)
+
+
+def _force_vanilla_endpoints(force_vanilla, k, v, k_begin, v_begin, k_end, v_end):
+    """Endpoint substitution realizing force_vanilla by the duplicated-KV
+    identity: substituting each forced row's OWN K/V for both endpoints
+    reduces every AID mode exactly to vanilla attention — fused modes
+    attend over [K; K] (each key twice at half weight, duplicated V
+    restores the sum), inner lerps K with itself, pure_outer blends two
+    identical passes. Requires endpoint seq length == own KV length (true
+    everywhere in the model: self endpoints are batch rows of k/v,
+    cross/IP endpoints are same-token-count embeds); returns None on a
+    length mismatch so the caller can fall back to compute-and-select."""
+    same_len = all(
+        ep is None or ep.shape[-2] == x.shape[-2]
+        for ep, x in ((k_begin, k), (k_end, k), (v_begin, v), (v_end, v)))
+    if not same_len:
+        return None
+    fv = _bcast_force(force_vanilla)
+
+    def own_or_endpoint(explicit, x, row):
+        ep = x[row] if explicit is None else explicit
+        if ep.ndim < x.ndim:
+            ep = jnp.broadcast_to(ep[None], x.shape[:1] + ep.shape)
+        return jnp.where(fv, x, ep)
+
+    return (own_or_endpoint(k_begin, k, 0), own_or_endpoint(v_begin, v, 0),
+            own_or_endpoint(k_end, k, -1), own_or_endpoint(v_end, v, -1))
 
 
 def dispatch_attention(
@@ -230,50 +282,61 @@ def dispatch_attention(
     path)."""
     if LOGIT_WINDOW_RECORDER is not None:
         _probe_logit_window(q, k, v, mode, k_begin, k_end,
-                            scale or q.shape[-1] ** -0.5)
+                            scale or q.shape[-1] ** -0.5,
+                            skip_endpoints=skip_endpoints,
+                            force_vanilla=force_vanilla)
+    mode = AttnMode(mode)
     if resolve_backend(backend) == "flash" and k.shape[-2] >= FLASH_MIN_KV:
         from aid_tpu.ops.flash_attention import flash_interpolated_attention
 
-        # force_vanilla is folded into skip_endpoints by the caller for the
-        # kernel path (skipping every endpoint segment IS vanilla attention)
         kernel_kwargs = dict(static_smax=static_smax)
         kernel_kwargs.update(FLASH_KERNEL_OVERRIDES)
+        # FUSED modes: force_vanilla is folded into skip_endpoints by the
+        # caller and the kernel honors it (skipping every endpoint segment
+        # IS vanilla attention). PURE modes: the kernel CANNOT honor skip
+        # rows (their streams have no self segment to fall back on — it
+        # zeroes the vector), so realize force_vanilla here by the
+        # duplicated-KV identity: substitute each forced row's own K/V for
+        # both endpoints (per-row 4D endpoints route to the packed kernel
+        # path, which handles them). Coef-based skip rows in pure modes
+        # need nothing: their endpoint IS their own K/V, so the kernel
+        # result is already exactly vanilla for them.
+        if (force_vanilla is not None and mode != AttnMode.SELF
+                and not mode.is_fused):
+            subst = _force_vanilla_endpoints(
+                force_vanilla, k, v, k_begin, v_begin, k_end, v_end)
+            if subst is not None:
+                k_begin, v_begin, k_end, v_end = subst
+            else:
+                # mismatched endpoint lengths (never produced by the model
+                # path): select the vanilla result after the kernel call
+                out = flash_interpolated_attention(
+                    q, k, v, coef, mode,
+                    k_begin=k_begin, v_begin=v_begin,
+                    k_end=k_end, v_end=v_end,
+                    scale=scale, skip_endpoints=skip_endpoints,
+                    **kernel_kwargs)
+                van = flash_interpolated_attention(
+                    q, k, v, scale=scale, **kernel_kwargs)
+                return jnp.where(_bcast_force(force_vanilla), van, out)
         return flash_interpolated_attention(
             q, k, v, coef, mode,
             k_begin=k_begin, v_begin=v_begin, k_end=k_end, v_end=v_end,
             scale=scale, skip_endpoints=skip_endpoints, **kernel_kwargs,
         )
-    mode = AttnMode(mode)
     if force_vanilla is not None and mode != AttnMode.SELF:
         # The xla path realizes force_vanilla by the duplicated-KV identity
         # (the same one the kernel's skip rows and the batched-CFG uncond
-        # rows use): substituting each row's OWN K/V for both endpoints
-        # reduces every AID mode exactly to vanilla attention — fused modes
-        # attend over [K; K] (each key twice at half weight, duplicated V
-        # restores the sum), inner lerps K with itself, pure_outer blends
-        # two identical passes. ONE attention evaluation per call instead
-        # of the old interpolated+vanilla double-compute-and-select
-        # (VERDICT r3 weak #6). Requires endpoint seq length == own KV
-        # length (true everywhere in the model: self endpoints are batch
-        # rows of k/v, cross/IP endpoints are same-token-count embeds);
-        # anything else falls back to compute-both-and-select.
-        def _own_or_endpoint(explicit, x, row):
-            ep = x[row] if explicit is None else explicit
-            if ep.ndim < x.ndim:
-                ep = jnp.broadcast_to(ep[None], x.shape[:1] + ep.shape)
-            return jnp.where(force_vanilla, x, ep)
-
-        same_len = all(
-            ep is None or ep.shape[-2] == x.shape[-2]
-            for ep, x in ((k_begin, k), (k_end, k), (v_begin, v), (v_end, v)))
-        if same_len:
+        # rows use); see _force_vanilla_endpoints. ONE attention evaluation
+        # per call instead of the old interpolated+vanilla
+        # double-compute-and-select (VERDICT r3 weak #6).
+        subst = _force_vanilla_endpoints(
+            force_vanilla, k, v, k_begin, v_begin, k_end, v_end)
+        if subst is not None:
+            kb, vb, ke, ve = subst
             return interpolated_attention(
                 q, k, v, coef, mode,
-                k_begin=_own_or_endpoint(k_begin, k, 0),
-                v_begin=_own_or_endpoint(v_begin, v, 0),
-                k_end=_own_or_endpoint(k_end, k, -1),
-                v_end=_own_or_endpoint(v_end, v, -1),
-                scale=scale,
+                k_begin=kb, v_begin=vb, k_end=ke, v_end=ve, scale=scale,
             )
     out = interpolated_attention(
         q, k, v, coef, mode,
@@ -282,7 +345,8 @@ def dispatch_attention(
     )
     if force_vanilla is not None and mode != AttnMode.SELF:
         # mismatched endpoint lengths: select the vanilla result instead
-        out = jnp.where(force_vanilla, _softmax_attn(q, k, v, scale or q.shape[-1] ** -0.5), out)
+        out = jnp.where(_bcast_force(force_vanilla),
+                        _softmax_attn(q, k, v, scale or q.shape[-1] ** -0.5), out)
     return out
 
 

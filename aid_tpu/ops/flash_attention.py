@@ -485,7 +485,7 @@ def _kernel_onepass(
         return [jax.lax.slice(s, (0, start), (bq, start + width))
                 for (src, start, width, slot, moff) in segments]
 
-    def process(h, slabs):
+    def v_sources(h):
         v_srcs = [None if v_ref is None else v_ref[0, h]]
         if ep_cols:
             v_srcs.append(ev_ref[h])
@@ -498,6 +498,10 @@ def _kernel_onepass(
                       jnp.pad(x, ((0, 0), (0, 1)), constant_values=1)
                       for x in v_srcs]
         vw = next(x for x in v_srcs if x is not None).shape[-1]
+        return v_srcs, vw
+
+    def process(h, slabs):
+        v_srcs, vw = v_sources(h)
 
         stats = []  # per segment: (m, l|None, pv) — with den_col>=0 the
         # normalizer rides pv lane den_col instead of a separate l
@@ -619,7 +623,16 @@ def flash_interpolated_attention(
     k_end: Optional[jnp.ndarray] = None,  # default k[-1]
     v_end: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    skip_endpoints=None,  # (B,) bool: rows whose endpoint segments are no-ops
+    skip_endpoints=None,  # (B,) bool: rows whose result must be OWN-K-only
+    # (vanilla) attention. Honored as real predication only in FUSED modes
+    # (endpoint segments dropped, the self segment remains). PURE streams
+    # have no self segment, so the kernel ZEROES the vector there — pure-
+    # mode callers must guarantee skip rows' endpoint K/V equals their own
+    # K/V (true for every constructor in models/layers.py: coef-0/1
+    # frames, batched-CFG uncond rows, sharded boundary frames), making
+    # the unskipped result already vanilla. force_vanilla on arbitrary
+    # pure-mode rows is NOT expressible here — dispatch_attention realizes
+    # it by the duplicated-KV endpoint substitution instead.
     block_q: int = 1024,
     block_k: int = 1024,
     interpret: bool = False,

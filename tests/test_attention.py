@@ -150,7 +150,7 @@ class TestProbeLogitWindowPerSet:
     even when another set's larger max would dominate a packed-union
     probe (code-review r4: union row max hid the lower edge)."""
 
-    def _window(self, q, k, mode, k_begin, k_end):
+    def _window(self, q, k, mode, k_begin, k_end, **probe_kwargs):
         import importlib
 
         # NB: `import aid_tpu.ops.attention as A` would bind the package's
@@ -161,35 +161,66 @@ class TestProbeLogitWindowPerSet:
         A.LOGIT_WINDOW_RECORDER = lambda lo, hi: acc.append((float(lo), float(hi)))
         try:
             A._probe_logit_window(q, k, None, mode, k_begin, k_end,
-                                  q.shape[-1] ** -0.5)
+                                  q.shape[-1] ** -0.5, **probe_kwargs)
             jax.effects_barrier()
         finally:
             A.LOGIT_WINDOW_RECORDER = None
         (lo, hi), = acc
         return lo, hi
 
+    @staticmethod
+    def _maxes(q, k, kb, ke):
+        sc = np.float64(q.shape[-1]) ** -0.5
+        qn = np.asarray(q, np.float64)
+
+        def rm(x):
+            xb = np.asarray(jnp.broadcast_to(x, q.shape), np.float64)
+            return (qn @ xb.swapaxes(-1, -2) * sc).max(-1)
+
+        return rm(k), rm(kb), rm(ke)
+
     def test_pure_outer_low_segment_not_hidden(self):
         rng = np.random.default_rng(7)
         B, H, S, D = 3, 2, 16, 8
         q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
         kb = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
-        ke = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        ke = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32) - 4.0)
         lo, hi = self._window(q, q, "pure_outer", kb, ke)
         # exact per-set answer: lo = min over rows/sets of that set's row
-        # max; the own-K set (here q@q^T) is always included because skip /
-        # force-vanilla rows softmax over own K only
-        sc = np.float64(D) ** -0.5
-        qn = np.asarray(q, np.float64)
-        mo = (qn @ qn.swapaxes(-1, -2) * sc).max(-1)
-        mb = (qn @ np.asarray(jnp.broadcast_to(kb, q.shape), np.float64).swapaxes(-1, -2) * sc).max(-1)
-        me = (qn @ np.asarray(jnp.broadcast_to(ke, q.shape), np.float64).swapaxes(-1, -2) * sc).max(-1)
+        # max — the [ke] set drags lo down even where [kb] dominates
+        _, mb, me = self._maxes(q, q, kb, ke)
+        np.testing.assert_allclose(lo, np.minimum(mb, me).min(), rtol=1e-5)
+        np.testing.assert_allclose(hi, np.maximum(mb, me).max(), rtol=1e-5)
+        # strictly below what the old packed-union probe reported (the
+        # union's per-row max is max(mb, me), hiding the lower set)
+        assert lo < np.maximum(mb, me).min() - 1e-6
+
+    def test_pure_force_vanilla_adds_own_k_set(self):
+        """With force_vanilla, arbitrary rows softmax over their OWN K
+        (duplicated-KV substitution), so the own-K set joins the window;
+        without it the pure window must NOT include the vanilla diagonal
+        (code-review r4 #3: unconditional widening spuriously disqualifies
+        configs whose endpoint sets are in-window)."""
+        rng = np.random.default_rng(12)
+        B, H, S, D = 3, 2, 16, 8
+        q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32) + 6.0)
+        kb = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        ke = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        mo, mb, me = self._maxes(q, k, kb, ke)
+        lo, hi = self._window(q, k, "pure_outer", kb, ke,
+                              force_vanilla=jnp.asarray(True))
         np.testing.assert_allclose(
             lo, np.minimum(np.minimum(mb, me), mo).min(), rtol=1e-5)
         np.testing.assert_allclose(
             hi, np.maximum(np.maximum(mb, me), mo).max(), rtol=1e-5)
-        # strictly below what the old packed-union probe reported (the
-        # union's per-row max is max(mb, me, mo), hiding the lower set)
-        assert lo < np.maximum(np.maximum(mb, me), mo).min() - 1e-6
+        # a skip vector alone must NOT widen (skip contract: those rows'
+        # endpoints ARE their own K/V, already covered by mb/me)
+        lo2, hi2 = self._window(q, k, "pure_outer", kb, ke,
+                                skip_endpoints=jnp.zeros((B,), bool))
+        np.testing.assert_allclose(lo2, np.minimum(mb, me).min(), rtol=1e-5)
+        np.testing.assert_allclose(hi2, np.maximum(mb, me).max(), rtol=1e-5)
+        assert hi > hi2  # own K sits +6 sigma: force really widened
 
     def test_fused_outer_sets_include_own_k(self):
         rng = np.random.default_rng(8)
@@ -199,19 +230,19 @@ class TestProbeLogitWindowPerSet:
         kb = k[0] - 60.0
         ke = k[-1]
         lo, hi = self._window(q, k, "fused_outer", kb, ke)
-        sc = np.float64(D) ** -0.5
-        qn = np.asarray(q, np.float64)
-        mo = (qn @ np.asarray(k, np.float64).swapaxes(-1, -2) * sc).max(-1)
-        mb = (qn @ np.asarray(jnp.broadcast_to(kb, k.shape[1:]), np.float64).swapaxes(-1, -2) * sc).max(-1)
-        me = (qn @ np.asarray(jnp.broadcast_to(ke, k.shape[1:]), np.float64).swapaxes(-1, -2) * sc).max(-1)
+        mo, mb, me = self._maxes(q, k, kb, ke)
         s1, s2 = np.maximum(mo, mb), np.maximum(mo, me)
-        # fused sets softmax over [k; endpoint]; skip/force-vanilla rows
-        # softmax over own K alone, so the own-K set joins unconditionally
-        # (min(s1, s2) >= mo per row, so lo reduces to mo.min())
+        # fused sets softmax over [k; endpoint] — own K couples both sets
+        # structurally (no widening needed for skip rows: per-row
+        # min(s1, s2) >= mo, and force_vanilla rows' own-only set has row
+        # max mo <= min(s1, s2), covered when force is passed)
+        np.testing.assert_allclose(lo, np.minimum(s1, s2).min(), rtol=1e-5)
+        np.testing.assert_allclose(hi, np.maximum(s1, s2).max(), rtol=1e-5)
+        # force_vanilla: own-only sets can sit BELOW min(s1, s2)
+        lo3, _ = self._window(q, k, "fused_outer", kb, ke,
+                              force_vanilla=jnp.asarray(True))
         np.testing.assert_allclose(
-            lo, np.minimum(np.minimum(s1, s2), mo).min(), rtol=1e-5)
-        np.testing.assert_allclose(
-            hi, np.maximum(np.maximum(s1, s2), mo).max(), rtol=1e-5)
+            lo3, np.minimum(np.minimum(s1, s2), mo).min(), rtol=1e-5)
 
     def test_inner_lower_bound_is_elementwise_min(self):
         rng = np.random.default_rng(9)
@@ -222,17 +253,42 @@ class TestProbeLogitWindowPerSet:
         lo, hi = self._window(q, q, "pure_inner", kb, ke)
         sc = np.float64(D) ** -0.5
         qn = np.asarray(q, np.float64)
-        mo = (qn @ qn.swapaxes(-1, -2) * sc).max(-1)  # own-K set (skip rows)
         lb = qn @ np.asarray(jnp.broadcast_to(kb, q.shape), np.float64).swapaxes(-1, -2) * sc
         le = qn @ np.asarray(jnp.broadcast_to(ke, q.shape), np.float64).swapaxes(-1, -2) * sc
         np.testing.assert_allclose(
-            lo, np.minimum(np.minimum(lb, le).max(-1), mo).min(), rtol=1e-5)
+            lo, np.minimum(lb, le).max(-1).min(), rtol=1e-5)
         np.testing.assert_allclose(
-            hi, np.maximum(np.maximum(lb.max(-1), le.max(-1)), mo).max(), rtol=1e-5)
+            hi, np.maximum(lb.max(-1), le.max(-1)).max(), rtol=1e-5)
         # soundness vs every t: the true lerped row max stays inside [lo, hi]
         for t in (0.0, 0.25, 0.5, 0.75, 1.0):
             rm = ((1 - t) * lb + t * le).max(-1)
             assert lo <= rm.min() + 1e-9 and rm.max() <= hi + 1e-9
+
+    def test_fused_inner_force_collapses_lower_to_own(self):
+        """FUSED_INNER: without force the lower edge uses the elementwise-
+        min lerp bound max'd with own K; with force it provably collapses
+        to own K alone (min(max(mo, mmin), mo) == mo), and the probe skips
+        the pair pass entirely (code-review r4 #4)."""
+        rng = np.random.default_rng(10)
+        B, H, S, D = 3, 2, 16, 8
+        q = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+        kb = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        ke = jnp.asarray(rng.normal(size=(H, S, D)).astype(np.float32))
+        mo, mb, me = self._maxes(q, k, kb, ke)
+        sc = np.float64(D) ** -0.5
+        qn = np.asarray(q, np.float64)
+        lb = qn @ np.asarray(jnp.broadcast_to(kb, q.shape), np.float64).swapaxes(-1, -2) * sc
+        le = qn @ np.asarray(jnp.broadcast_to(ke, q.shape), np.float64).swapaxes(-1, -2) * sc
+        mmin = np.minimum(lb, le).max(-1)
+        lo, hi = self._window(q, k, "fused_inner", kb, ke)
+        np.testing.assert_allclose(lo, np.maximum(mo, mmin).min(), rtol=1e-5)
+        np.testing.assert_allclose(
+            hi, np.maximum(mo, np.maximum(mb, me)).max(), rtol=1e-5)
+        lo2, hi2 = self._window(q, k, "fused_inner", kb, ke,
+                                force_vanilla=jnp.asarray(True))
+        np.testing.assert_allclose(lo2, mo.min(), rtol=1e-5)
+        np.testing.assert_allclose(hi2, hi, rtol=1e-5)
 
 
 class TestDispatchForceVanilla:
@@ -290,6 +346,36 @@ class TestDispatchForceVanilla:
                                 force_vanilla=jnp.asarray(True))
         np.testing.assert_allclose(np.asarray(on), np.asarray(van),
                                    rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("mode", ["pure_outer", "pure_inner",
+                                      "fused_outer", "fused_inner"])
+    def test_kernel_path_honors_force_vanilla(self, qkv, mode, monkeypatch):
+        """Kernel-path force_vanilla (code-review r4 #1): the flash kernel
+        only honors skip rows in fused modes, so dispatch must realize
+        force_vanilla for PURE modes by the duplicated-KV endpoint
+        substitution before calling the kernel — previously those rows
+        silently received interpolated output."""
+        import importlib
+
+        A = importlib.import_module("aid_tpu.ops.attention")
+        monkeypatch.setattr(A, "resolve_backend", lambda b="auto": "flash")
+        monkeypatch.setattr(A, "FLASH_MIN_KV", 1)
+        monkeypatch.setattr(A, "FLASH_KERNEL_OVERRIDES", {"interpret": True})
+
+        q, k, v, coef = map(jnp.asarray, qkv)
+        # skip vector as the model path builds it: coef mask | force
+        skip = jnp.ones((q.shape[0],), bool)
+        van = attention(q, k, v)
+        on = A.dispatch_attention(q, k, v, coef, mode,
+                                  skip_endpoints=skip,
+                                  force_vanilla=jnp.asarray(True))
+        np.testing.assert_allclose(np.asarray(on), np.asarray(van),
+                                   rtol=2e-3, atol=2e-3)
+        off = A.dispatch_attention(q, k, v, coef, mode,
+                                   force_vanilla=jnp.asarray(False))
+        want = interpolated_attention(q, k, v, coef, mode)
+        np.testing.assert_allclose(np.asarray(off), np.asarray(want),
+                                   rtol=2e-3, atol=2e-3)
 
     def test_single_attention_evaluation(self, qkv):
         """Structural no-double-compute guard: fused_inner under
