@@ -363,6 +363,14 @@ def _kernel_onepass(
     # static scale, so num/den are plain sums over member segments
     smax_clip: Optional[float],
     ep_cols: int = 0,  # split-endpoint path: padded per-endpoint width
+    pipeline_chunk: int = 0,  # >0 + static shift: chunk-skewed software
+    # pipeline — each segment's QK/exp/PV is split into K-chunks of this
+    # width and chunk c+1's QK dot is issued (program order) before chunk
+    # c's exp/PV, so Mosaic can overlap the VPU exp pass with MXU dots.
+    # Only valid under the static shift, where chunks are purely
+    # associative (no cross-chunk row max / rescale); at most two chunk
+    # slabs are live at once, so VMEM stays bounded where the rejected
+    # whole-slab skew OOM'd (PERF.md round-3 campaign).
 ):
     """One-pass kernel: whole packed stream resident, heads looped in-kernel.
 
@@ -524,7 +532,9 @@ def _kernel_onepass(
                 preferred_element_type=jnp.float32,
             )
             stats.append((m_seg, l_seg, pv_seg))
+        combine_store(h, stats, vw)
 
+    def combine_store(h, stats, vw):
         outs = []
         for members in sets:
             if smax_shift is not None:
@@ -584,6 +594,59 @@ def _kernel_onepass(
             out = outs[0]
         o_ref[0, h] = out.astype(o_ref.dtype)
 
+    def process_chunked(h):
+        """Chunk-skewed pipeline (pipeline_chunk > 0, static shift only):
+        flatten the segments into K-chunks and issue chunk c+1's QK dot
+        before chunk c's exp/PV in program order. Under the static shift
+        every chunk contributes independently at the shared scale (num/den
+        are plain sums), so no cross-chunk max/rescale chain serializes the
+        pipeline, and only two chunk slabs are ever live."""
+        pieces = []  # (seg_idx, src, start, width, slot, mask_offset)
+        for si, (src, start, width, slot, moff) in enumerate(segments):
+            for off in range(0, width, pipeline_chunk):
+                w = min(pipeline_chunk, width - off)
+                pieces.append((si, src, start + off, w, slot, moff + off))
+
+        v_srcs, vw = v_sources(h)
+        q = q_ref[0, h]
+        num = [None] * len(segments)
+        den = [None] * len(segments)
+
+        def score_piece(piece):
+            _, src, start, w, _, _ = piece
+            arr = k_ref[0, h] if src == 0 else ek_ref[h]
+            ks = jax.lax.slice(arr, (start, 0), (start + w, Dp))
+            return jax.lax.dot_general(
+                q, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+
+        def exp_pv_piece(piece, s_seg):
+            si, src, start, w, slot, moff = piece
+            if needs_mask:
+                col = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1)
+                s_seg = jnp.where(col + moff < lens_ref[slot], s_seg, NEG_INF)
+            p_seg = exp_of(jnp.minimum(s_seg - smax_shift, smax_clip))
+            pv = jax.lax.dot_general(
+                p_seg.astype(v_srcs[src].dtype),
+                jax.lax.slice(v_srcs[src], (start, 0), (start + w, vw)),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            num[si] = pv if num[si] is None else num[si] + pv
+            if den_col < 0:
+                l = jnp.sum(p_seg, axis=-1, keepdims=True, dtype=jnp.float32)
+                den[si] = l if den[si] is None else den[si] + l
+
+        s_prev = score_piece(pieces[0])
+        for i in range(1, len(pieces)):
+            s_next = score_piece(pieces[i])
+            exp_pv_piece(pieces[i - 1], s_prev)
+            s_prev = s_next
+        exp_pv_piece(pieces[-1], s_prev)
+        combine_store(h, [(None, den[si], num[si])
+                          for si in range(len(segments))], vw)
+
     # HOISTED head groups: within a group, every head's score matmul is
     # issued before ANY head's softmax/PV in program order, giving Mosaic
     # the chance to bundle head h+1's MXU QK tiles against head h's VPU
@@ -595,12 +658,17 @@ def _kernel_onepass(
     # VMEM stack OOM at H=20: 116 MB). Mosaic only lowers fori_loop
     # unroll=1/full, so the grouping is expressed manually.
     group = unroll if unroll > 1 and H % unroll == 0 else 1
+    chunked = pipeline_chunk > 0 and smax_shift is not None
 
     def head_group(g, _):
         hs = [g * group + ui for ui in range(group)]
-        ss = [score(h) for h in hs]
-        for h, s in zip(hs, ss):
-            process(h, s)
+        if chunked:
+            for h in hs:
+                process_chunked(h)
+        else:
+            ss = [score(h) for h in hs]
+            for h, s in zip(hs, ss):
+                process(h, s)
         return 0
 
     jax.lax.fori_loop(0, H // group, head_group, 0)
@@ -610,7 +678,7 @@ def _kernel_onepass(
     jax.jit,
     static_argnames=("mode", "scale", "block_q", "block_k", "interpret", "pad_d",
                      "exp_impl", "short_unroll", "onepass_max", "mxu_den",
-                     "static_smax"),
+                     "static_smax", "pipeline_chunk"),
 )
 def flash_interpolated_attention(
     q: jnp.ndarray,  # (B, H, Sq, D)
@@ -668,6 +736,11 @@ def flash_interpolated_attention(
     # weak #1). Incompatible with exp_impl="bf16": exp(bf16(s-40)) at
     # operand magnitude ~40 quantizes at 0.125-nat steps (~13% per-prob
     # error); "auto" resolves to None under bf16, an explicit C raises.
+    pipeline_chunk: int = 0,  # EXPERIMENTAL (one-pass kernel, static shift
+    # only): K-chunk width for the chunk-skewed QK/exp/PV software pipeline
+    # (see _kernel_onepass). 0 = off. Ignored on the streaming kernel and
+    # whenever the static shift is inactive (the exact path's cross-chunk
+    # max/rescale chain would serialize the skew anyway).
     exp_impl: str = "f32",  # "f32" | "exp2" | "bf16" (softmax exp strategy).
     # "f32"/"exp2" are numerically equivalent and fuzz-tested across all
     # modes. "bf16" is EXPERIMENTAL: only validated at mask-free,
@@ -876,6 +949,7 @@ def flash_interpolated_attention(
             unroll=short_unroll, den_col=den_col,
             smax_shift=smax_shift, smax_clip=smax_clip,
             ep_cols=Lep if split_ep else 0,
+            pipeline_chunk=_ceil_to(pipeline_chunk, LANES) if pipeline_chunk else 0,
         )
         q_spec1 = pl.BlockSpec((1, hgroup, block_q, Dp), lambda b, g, i, *_: (b, g, i, 0))
         if skip_endpoints is None or not mode.is_fused:

@@ -462,3 +462,39 @@ def test_split_escape_hatch_matches_packed():
         fa._SPLIT_EP_ENABLE = True
     np.testing.assert_allclose(np.asarray(packed), np.asarray(split),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_pipeline_chunk_matches_unchunked(mode):
+    """Chunk-skewed one-pass pipeline (pipeline_chunk>0 + static shift):
+    chunks contribute associatively at the shared static scale, so the
+    result must match the unchunked kernel at f32 sum-order tolerance —
+    including sub-segment chunks on masked, non-block-aligned shapes and
+    through the split-endpoint path (block-aligned shared endpoints)."""
+    for shape, seed in [((3, 2, 96, 200, 64), 31),      # masked, packed
+                        ((3, 2, 256, 256, 64), 32)]:    # split-capable
+        q, k, v, coef = _data(*shape, seed=seed)
+        skip = (jnp.array([True, False, False])
+                if mode.startswith("fused") else None)
+        base = flash_interpolated_attention(
+            q, k, v, coef, mode, interpret=True, static_smax=40.0,
+            onepass_max=4096, skip_endpoints=skip)
+        for chunk in (128, 512):
+            got = flash_interpolated_attention(
+                q, k, v, coef, mode, interpret=True, static_smax=40.0,
+                onepass_max=4096, skip_endpoints=skip, pipeline_chunk=chunk)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                                       rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_chunk_requires_static_shift():
+    """Without the static shift the chunked path is inert (the exact
+    kernel's cross-chunk max/rescale would serialize the skew): the knob
+    must be ignored, output exact vs the jnp reference."""
+    q, k, v, coef = _data(3, 2, 128, 128, 64, seed=33)
+    want = interpolated_attention(q, k, v, coef, "fused_outer")
+    got = flash_interpolated_attention(
+        q, k, v, coef, "fused_outer", interpret=True,
+        onepass_max=4096, pipeline_chunk=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

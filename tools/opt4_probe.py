@@ -236,6 +236,53 @@ def probe_split_ep():
         log({"probe": f"r4split_{name}", "ms": round(min(ts) * 1e3, 3)})
 
 
+def probe_chunk():
+    """Hardware A/B for the chunk-skewed one-pass pipeline (pipeline_chunk):
+    QK of chunk c+1 issued before exp/PV of chunk c under the static shift.
+    Target: the fused@4096 class, where hgroup=1 leaves no head-level
+    interleaving and the VPU softmax fully serializes against the MXU
+    (~1.9x off the bare QK+PV chain, PERF.md round-3 campaign)."""
+    from aid_tpu.ops.flash_attention import flash_interpolated_attention
+
+    DT = jnp.bfloat16
+    ITERS = 30
+    for name, (B, H, S, opmax) in [
+        ("fused4096", (7, 10, 4096, 16384)),
+        ("fused1024", (7, 20, 1024, 3072)),
+        ("pure1024", (7, 20, 1024, 3072)),
+    ]:
+        mode = "pure_outer" if name.startswith("pure") else "fused_outer"
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, H, S, 64), DT)
+        k = jax.random.normal(ks[1], (B, H, S, 64), DT)
+        v = jax.random.normal(ks[2], (B, H, S, 64), DT)
+        coef = jnp.linspace(0, 1, B)
+
+        for chunk in (0, 512, 1024, 2048):
+            @jax.jit
+            def run(q0, kk, vv, _c=chunk):
+                def body(c, _):
+                    return flash_interpolated_attention(
+                        c, kk, vv, coef, mode, onepass_max=opmax,
+                        static_smax="auto", pipeline_chunk=_c), None
+                y, _ = jax.lax.scan(body, q0, None, length=ITERS)
+                return jnp.sum(y.astype(jnp.float32))
+
+            try:
+                val = float(run(q, k, v))
+            except Exception as e:  # compile failure is a result too
+                log({"probe": f"r4chunk_{name}_c{chunk}",
+                     "error": type(e).__name__, "msg": str(e)[:200]})
+                continue
+            assert val == val, f"NaN from {name} chunk={chunk}"
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(run(q, k, v))
+                ts.append((time.perf_counter() - t0) / ITERS)
+            log({"probe": f"r4chunk_{name}_c{chunk}", "ms": round(min(ts) * 1e3, 3)})
+
+
 if __name__ == "__main__":
     which = set(sys.argv[1:])
     if not which or "sdxl" in which:
@@ -248,3 +295,5 @@ if __name__ == "__main__":
         probe_pack_cost_ingraph()
     if "split" in which:
         probe_split_ep()
+    if "chunk" in which:
+        probe_chunk()
