@@ -176,17 +176,19 @@ def _probe_logit_window(q, k, v, mode, k_begin, k_end, scale,
     # force_vanilla rows reduce to the own-K-only softmax set (the
     # duplicated-KV identity / fused-mode skip predication) on ARBITRARY
     # rows, so the own-K set must be covered whenever the caller passes it.
-    # A skip vector ALONE needs no widening: pure skip rows' endpoint K/V
-    # *is* their own K/V (coef-0/1 frames, batched-CFG uncond rows, sharded
-    # boundary frames — every constructor in models/layers.py), so the
-    # own-K set those rows evaluate is already one of the probed endpoint
-    # sets; the only skip rows violating that are folded-in force_vanilla
-    # rows, and layers always passes force_vanilla alongside. Calls that
-    # can never reduce keep the tight per-set window — an unconditional
-    # widening would spuriously disqualify configs whose endpoint sets are
-    # in-window but whose vanilla diagonal strays (code-review r4 #3).
-    del skip_endpoints
-    may_own = force_vanilla is not None
+    # Likewise a FUSED-mode skip vector: the kernel gates those rows to the
+    # own-only set, and the vector is traced so the probe cannot see which
+    # rows (or whether their endpoints equal their own K/V) — cover own-K
+    # whenever gating is possible. PURE modes ignore skip at the kernel
+    # (the skip vector is forced to zero there; skip semantics come from
+    # the coef-0/1 endpoints-are-own-K/V construction, already one of the
+    # probed endpoint sets), so a pure-mode skip vector needs no widening.
+    # Calls that can never reduce keep the tight per-set window — an
+    # unconditional widening would spuriously disqualify configs whose
+    # endpoint sets are in-window but whose vanilla diagonal strays
+    # (code-review r4 #3).
+    may_own = force_vanilla is not None or (
+        mode.is_fused and skip_endpoints is not None)
 
     kb, ke = ep(k_begin, 0), ep(k_end, -1)
     mb, me = _row_maxes(q, kb, scale), _row_maxes(q, ke, scale)
@@ -291,16 +293,27 @@ def dispatch_attention(
 
         kernel_kwargs = dict(static_smax=static_smax)
         kernel_kwargs.update(FLASH_KERNEL_OVERRIDES)
-        # FUSED modes: force_vanilla is folded into skip_endpoints by the
-        # caller and the kernel honors it (skipping every endpoint segment
-        # IS vanilla attention). PURE modes: the kernel CANNOT honor skip
-        # rows (their streams have no self segment to fall back on — it
-        # zeroes the vector), so realize force_vanilla here by the
-        # duplicated-KV identity: substitute each forced row's own K/V for
-        # both endpoints (per-row 4D endpoints route to the packed kernel
-        # path, which handles them). Coef-based skip rows in pure modes
-        # need nothing: their endpoint IS their own K/V, so the kernel
-        # result is already exactly vanilla for them.
+        # FUSED modes: fold force_vanilla into the skip vector HERE (the
+        # kernel honors skip by dropping the endpoint segments — own-only
+        # IS vanilla attention), so direct dispatch callers get the same
+        # semantics on every backend without replicating layers.py's
+        # skip|force fold. PURE modes: the kernel CANNOT honor skip rows
+        # (their streams have no self segment to fall back on — it zeroes
+        # the vector), so realize force_vanilla by the duplicated-KV
+        # identity: substitute each forced row's own K/V for both endpoints
+        # (per-row 4D endpoints route to the packed kernel path, which
+        # handles them). NB this forfeits the split-endpoint routing for
+        # the call (3D shared endpoints become per-row 4D) even when the
+        # traced force vector is all-False — pure-mode callers who never
+        # force should pass force_vanilla=None, and skip-style callers
+        # should build coef-0/1 rows whose endpoints ARE their own K/V
+        # (then the kernel result is already exactly vanilla with no
+        # substitution needed).
+        if force_vanilla is not None and mode.is_fused:
+            fv = jnp.broadcast_to(
+                jnp.asarray(force_vanilla, bool), k.shape[:1])
+            skip_endpoints = (fv if skip_endpoints is None
+                              else jnp.logical_or(skip_endpoints, fv))
         if (force_vanilla is not None and mode != AttnMode.SELF
                 and not mode.is_fused):
             subst = _force_vanilla_endpoints(

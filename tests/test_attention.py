@@ -243,6 +243,12 @@ class TestProbeLogitWindowPerSet:
                               force_vanilla=jnp.asarray(True))
         np.testing.assert_allclose(
             lo3, np.minimum(np.minimum(s1, s2), mo).min(), rtol=1e-5)
+        # a FUSED-mode skip vector alone also widens: the kernel gates skip
+        # rows to the own-only set and the probe cannot see which rows or
+        # whether their endpoints equal own K/V (code-review r4b #2)
+        lo4, _ = self._window(q, k, "fused_outer", kb, ke,
+                              skip_endpoints=jnp.zeros((3,), bool))
+        np.testing.assert_allclose(lo4, lo3, rtol=1e-5)
 
     def test_inner_lower_bound_is_elementwise_min(self):
         rng = np.random.default_rng(9)
@@ -347,14 +353,18 @@ class TestDispatchForceVanilla:
         np.testing.assert_allclose(np.asarray(on), np.asarray(van),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("with_skip", [True, False])
     @pytest.mark.parametrize("mode", ["pure_outer", "pure_inner",
                                       "fused_outer", "fused_inner"])
-    def test_kernel_path_honors_force_vanilla(self, qkv, mode, monkeypatch):
+    def test_kernel_path_honors_force_vanilla(self, qkv, mode, with_skip,
+                                              monkeypatch):
         """Kernel-path force_vanilla (code-review r4 #1): the flash kernel
         only honors skip rows in fused modes, so dispatch must realize
         force_vanilla for PURE modes by the duplicated-KV endpoint
         substitution before calling the kernel — previously those rows
-        silently received interpolated output."""
+        silently received interpolated output. with_skip=False exercises
+        dispatch's OWN skip|force fold for fused modes (code-review r4b #1:
+        direct callers must not need to replicate layers.py's fold)."""
         import importlib
 
         A = importlib.import_module("aid_tpu.ops.attention")
@@ -364,7 +374,7 @@ class TestDispatchForceVanilla:
 
         q, k, v, coef = map(jnp.asarray, qkv)
         # skip vector as the model path builds it: coef mask | force
-        skip = jnp.ones((q.shape[0],), bool)
+        skip = jnp.ones((q.shape[0],), bool) if with_skip else None
         van = attention(q, k, v)
         on = A.dispatch_attention(q, k, v, coef, mode,
                                   skip_endpoints=skip,
