@@ -196,6 +196,7 @@ def load_scheduler(repo_path: str, scheduler_name: str = "auto"):
         DDIMScheduler,
         EDMDPMSolverScheduler,
         EulerDiscreteScheduler,
+        PNDMScheduler,
         SchedulerConfig,
         UniPCScheduler,
     )
@@ -210,6 +211,9 @@ def load_scheduler(repo_path: str, scheduler_name: str = "auto"):
         cls = sc.get("_class_name", "DDIMScheduler")
         scheduler_name = {
             "DDIMScheduler": "ddim",
+            "PNDMScheduler": "pndm",  # the SD-1.x-derivative default (the
+            # reference notebooks' checkpoints Realistic_Vision_V4.0 and
+            # YiffyMix ship it)
             "UniPCMultistepScheduler": "unipc",
             "EulerDiscreteScheduler": "euler",
             "EDMDPMSolverMultistepScheduler": "edm",
@@ -242,6 +246,9 @@ def load_scheduler(repo_path: str, scheduler_name: str = "auto"):
         # reads it from the same config)
         return EulerDiscreteScheduler(
             sch_cfg, use_karras_sigmas=sc.get("use_karras_sigmas", False))
+    if scheduler_name == "pndm":
+        return PNDMScheduler(
+            sch_cfg, skip_prk_steps=sc.get("skip_prk_steps", True))
     return {
         "ddim": DDIMScheduler,
         "unipc": UniPCScheduler,

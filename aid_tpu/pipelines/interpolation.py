@@ -325,7 +325,12 @@ class InterpolationPipeline:
         sched_state = self.scheduler.init(num_inference_steps, latent_shape=latents.shape)
         latents = latents * sched_state.init_noise_sigma
         if num_run_steps is None:
-            num_run_steps = num_inference_steps
+            # loop over the scheduler's ACTUAL timestep array: equal to
+            # num_inference_steps for every scheduler except PNDM, whose
+            # skip-PRK corrector adds one evaluation (timesteps has n+1
+            # entries — diffusers pipelines likewise iterate
+            # scheduler.timesteps, reference sd:1832)
+            num_run_steps = int(sched_state.timesteps.shape[0])
         self._interrupt = False
         # Early mode runs for steps i < warmup_steps, 0-based — matching the
         # root pipelines (pipeline_interpolated_sd.py:1845 `i < warmup_step`
@@ -639,7 +644,11 @@ class InterpolationPipeline:
 
         state = self.scheduler.init(timesteps, latent_shape=latents.shape)
         latents = latents * state.init_noise_sigma
+        # switch counts NOMINAL steps (reference gradio :560 computes it
+        # from the requested count); the loop covers the actual timestep
+        # array (== nominal except PNDM's +1 corrector entry)
         switch = int(timesteps * interpolated_ratio)
+        end = int(state.timesteps.shape[0])
         g = jnp.float32(guidance_scale)
         latents, state = engine.denoise_range(
             self.unet, self.scheduler, self.unet_params, latents, emb1, uncond,
@@ -647,7 +656,7 @@ class InterpolationPipeline:
         )
         latents, state = engine.denoise_range(
             self.unet, self.scheduler, self.unet_params, latents, emb2, uncond,
-            state, g, start=switch, end=timesteps, **extra2,
+            state, g, start=switch, end=end, **extra2,
         )
         return self._decode(latents)
 
@@ -690,7 +699,7 @@ class InterpolationPipeline:
         final, _ = engine.denoise_range(
             self.unet, self.scheduler, self.unet_params, latents,
             emb, uncond, state, jnp.float32(guidance_scale),
-            start=0, end=num_inference_steps, **extra,
+            start=0, end=int(state.timesteps.shape[0]), **extra,
         )
         if output_type == "latent":
             return final

@@ -1,6 +1,7 @@
 from aid_tpu.schedulers.base import SchedulerConfig
 from aid_tpu.schedulers.ddim import DDIMScheduler
 from aid_tpu.schedulers.euler import EulerDiscreteScheduler
+from aid_tpu.schedulers.pndm import PNDMScheduler
 from aid_tpu.schedulers.unipc import UniPCScheduler
 from aid_tpu.schedulers.edm_dpm import EDMDPMSolverScheduler
 
@@ -8,6 +9,7 @@ __all__ = [
     "SchedulerConfig",
     "DDIMScheduler",
     "EulerDiscreteScheduler",
+    "PNDMScheduler",
     "UniPCScheduler",
     "EDMDPMSolverScheduler",
 ]
