@@ -306,6 +306,38 @@ def test_call_num_images_per_prompt(pipe):
     assert np.any(out[1] != out[0])  # distinct latents -> distinct images
 
 
+class TestVPredictionPNDM:
+    def test_sd2x_style_vpred_denoise_end_to_end(self, pipe):
+        """SD2.x-style scheduler config (PNDMScheduler +
+        prediction_type='v_prediction' — what stabilityai/stable-diffusion-2
+        family checkpoints ship and loader.py:214 dispatches to) through the
+        full tiny-pipeline interpolate_single (VERDICT r4 next #1)."""
+        import dataclasses
+
+        from aid_tpu.schedulers.base import SchedulerConfig
+        from aid_tpu.schedulers.pndm import PNDMScheduler
+
+        kw = dict(prompt_start="a cat", prompt_end="a dog",
+                  num_inference_steps=STEPS, seed=3)
+        vpipe = dataclasses.replace(
+            pipe,
+            scheduler=PNDMScheduler(
+                config=SchedulerConfig(prediction_type="v_prediction")))
+        out1 = vpipe.interpolate_single(0.5, **kw)
+        out2 = vpipe.interpolate_single(0.5, **kw)
+        assert out1.shape == (3, 16, 16, 3) and out1.dtype == np.uint8
+        np.testing.assert_array_equal(out1, out2)
+        # the prediction type must be load-bearing (different trajectory
+        # than epsilon under the same PNDM schedule)...
+        epipe = dataclasses.replace(pipe, scheduler=PNDMScheduler())
+        eps_out = epipe.interpolate_single(0.5, **kw)
+        assert np.any(out1 != eps_out)
+        # ...and the endpoint fixed-point property must survive v-pred
+        b = vpipe.interpolate_single(0.8, **kw)
+        np.testing.assert_array_equal(out1[0], b[0])
+        np.testing.assert_array_equal(out1[2], b[2])
+
+
 class TestStaticSmaxEndToEnd:
     def test_auto_equals_exact_through_kernel(self, pipe, monkeypatch):
         """End-to-end pin (VERDICT r3 next #1): a full tiny-pipeline denoise

@@ -144,6 +144,12 @@ class TestPNDM:
         def transfer(x, t, prev_t, mo):
             a_t = acp[t]
             a_prev = acp[prev_t] if prev_t >= 0 else final_acp
+            # diffusers PNDMScheduler._get_prev_sample: for v_prediction,
+            # the history-COMBINED model output is converted v->eps ONCE
+            # here, with the transfer's (effective) timestep and sample —
+            # NOT per history entry before combination.
+            if cfg.prediction_type == "v_prediction":
+                mo = np.sqrt(a_t) * mo + np.sqrt(1 - a_t) * x
             denom = a_t * np.sqrt(1 - a_prev) + np.sqrt(a_t * (1 - a_t) * a_prev)
             return np.sqrt(a_prev / a_t) * x - (a_prev - a_t) * mo / denom
 
@@ -204,38 +210,71 @@ class TestPNDM:
         assert ts[1] == ts[2]  # the corrector re-evaluates at t_1
         assert ts[0] > ts[1] and np.all(np.diff(ts[2:]) < 0)
 
-    def test_v_prediction_equals_epsilon_reformulation(self):
-        """v-pred inputs converted with the per-step alphas must land on the
-        same trajectory as feeding the equivalent epsilon directly."""
+    def test_v_prediction_full_trajectory_matches_oracle(self):
+        """v-pred vs the stateful numpy oracle (combine RAW v outputs in the
+        Adams–Bashforth history, convert v->eps ONCE at the transfer with
+        t_eff/x_eff — diffusers _get_prev_sample ordering, the declared
+        parity target at schedulers/pndm.py:136-137).
+
+        NOTE: a per-step v->eps conversion does NOT reproduce this
+        trajectory — the affine conversion coefficients differ per history
+        entry, so any order>=2 combination diverges (round-4 red test
+        asserted exactly that false invariant; removed)."""
         from aid_tpu.schedulers.pndm import PNDMScheduler
 
         rng = np.random.default_rng(6)
-        shape = (1, 4, 4, 4)
+        shape = (2, 4, 4, 4)
         x0 = rng.normal(size=shape).astype(np.float32)
-        eps_const = rng.normal(size=shape).astype(np.float32)
+        W = rng.normal(size=(4, 4)).astype(np.float32) * 0.2
+
+        def v_fn(x, t):
+            return np.tanh(x @ W) - np.float32(t) / 2000.0
+
+        n = 7
         cfg_v = SchedulerConfig(prediction_type="v_prediction")
-        sch_e, sch_v = PNDMScheduler(), PNDMScheduler(config=cfg_v)
-        n = 5
-        st_e = sch_e.init(n, latent_shape=shape)
-        st_v = sch_v.init(n, latent_shape=shape)
-        betas = make_betas(sch_e.config)
+        sch = PNDMScheduler(config=cfg_v)
+        state = sch.init(n, latent_shape=shape)
+        want = self._oracle_run(cfg_v, n, x0.copy(), v_fn)
+
+        x = jnp.asarray(x0)
+        for i in range(n + 1):
+            t = int(state.timesteps[i])
+            v = jnp.asarray(v_fn(np.asarray(x, np.float32), t))
+            x, state = sch.step(state, v, jnp.asarray(i), x)
+        np.testing.assert_allclose(np.asarray(x), want, rtol=2e-4, atol=2e-4)
+
+    def test_v_prediction_perfect_model_recovers_x0(self):
+        """End-to-end denoise with a perfect v model (knows the true x0):
+        the PLMS trajectory must land near x0 (multistep extrapolation of a
+        time-varying eps is approximate, hence the loose tolerance; an
+        unconverged/wrong conversion lands O(1) away)."""
+        from aid_tpu.schedulers.pndm import PNDMScheduler
+
+        rng = np.random.default_rng(7)
+        shape = (1, 4, 4, 4)
+        x0 = rng.normal(size=shape).astype(np.float32) * 0.5
+        noise = rng.normal(size=shape).astype(np.float32)
+        cfg_v = SchedulerConfig(prediction_type="v_prediction",
+                                set_alpha_to_one=True)
+        sch = PNDMScheduler(config=cfg_v)
+        n = 40
+        state = sch.init(n, latent_shape=shape)
+        betas = make_betas(cfg_v)
         acp = np.cumprod(1 - betas)
 
-        xe = xv = jnp.asarray(x0)
+        def v_fn(x, t):
+            a = acp[t]
+            eps = (x - np.sqrt(a) * x0) / np.sqrt(1 - a)
+            return np.sqrt(a) * eps - np.sqrt(1 - a) * x0
+
+        t0 = int(state.timesteps[0])
+        x = jnp.asarray(np.sqrt(acp[t0]) * x0 + np.sqrt(1 - acp[t0]) * noise)
         for i in range(n + 1):
-            t = int(st_e.timesteps[i])
-            # the corrector step converts v at the EFFECTIVE timestep t_0
-            # against the STASHED first sample (the transfer re-advances
-            # cur_sample, so the conversion uses it too — same quirk as the
-            # torch implementation's sample swap before _get_prev_sample)
-            t_eff = t + sch_e.config.num_train_timesteps // n if i == 1 else t
-            x_conv = x0 if i == 1 else np.asarray(xv, np.float32)
-            a = acp[t_eff]
-            v = (np.asarray(eps_const) - np.sqrt(1 - a) * x_conv) / np.sqrt(a)
-            xe, st_e = sch_e.step(st_e, jnp.asarray(eps_const), jnp.asarray(i), xe)
-            xv, st_v = sch_v.step(st_v, jnp.asarray(v), jnp.asarray(i), xv)
-            np.testing.assert_allclose(np.asarray(xv), np.asarray(xe),
-                                       rtol=2e-4, atol=2e-4)
+            t = int(state.timesteps[i])
+            v = jnp.asarray(v_fn(np.asarray(x, np.float32), t))
+            x, state = sch.step(state, v, jnp.asarray(i), x)
+        err = float(np.max(np.abs(np.asarray(x) - x0)))
+        assert err < 0.06, err
 
     def test_prk_not_implemented(self):
         from aid_tpu.schedulers.pndm import PNDMScheduler
