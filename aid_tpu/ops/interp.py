@@ -78,13 +78,20 @@ def linear_interpolation(l1: jnp.ndarray, l2: jnp.ndarray, ts=None, size: int = 
     return lerp(l1, l2, ts).reshape((ts.shape[0],) + l1.shape[1:])
 
 
-def spherical_interpolation(l1: jnp.ndarray, l2: jnp.ndarray, size: int = 5) -> jnp.ndarray:
+def spherical_interpolation(l1: jnp.ndarray, l2: jnp.ndarray, size: int = 5, ts=None) -> jnp.ndarray:
     """Batched slerp between two ``(1, *)`` arrays -> ``(size, *)``.
 
+    If ``ts`` is given it is the coefficient schedule (like
+    ``linear_interpolation``); otherwise uniform ``i/(size-1)``.
     Reference: interpolation.py:838-858.
     """
     assert l1.shape == l2.shape, "shapes of l1 and l2 must match"
-    ts = jnp.linspace(0.0, 1.0, size).reshape((-1,) + (1,) * (l1.ndim - 1))
+    if ts is None:
+        ts = jnp.linspace(0.0, 1.0, size)
+    else:
+        ts = jnp.asarray(ts, jnp.float32)
+        size = int(ts.shape[0])
+    ts = ts.reshape((-1,) + (1,) * (l1.ndim - 1))
     out = slerp(l1[None], l2[None], ts[:, None])
     return out.reshape((size,) + l1.shape[1:])
 

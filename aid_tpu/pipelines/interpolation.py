@@ -418,6 +418,7 @@ class InterpolationPipeline:
         alpha: Optional[float] = None,
         beta: Optional[float] = None,
         guidance_scale: Optional[float] = None,
+        ts=None,
         output_type: str = "np",
         callback_on_chunk_end=None,
         callback_on_step_end=None,
@@ -429,13 +430,29 @@ class InterpolationPipeline:
         broadcast for PAID), while the per-frame attention coefficients
         follow the Beta(alpha, beta) PPF schedule (alpha/beta default to
         num_inference_steps, :203-206).
+
+        ``ts`` (optional, (N,) floats with ts[0]=0, ts[-1]=1): explicit
+        per-frame coefficient points — latents slerp, embeds lerp AND the
+        attention coef all use these points, overriding size/alpha/beta.
+        Because every AID mode sources K/V only from the endpoint rows,
+        each frame of such a run is mathematically identical to the middle
+        frame of a 3-frame ``interpolate_single(ts[i])`` run — this is the
+        batched engine behind ``interpolate_save_gpu``'s fast path and the
+        prior/selection loops (SURVEY §7 "batch candidate points per
+        round"; reference per-frame loops at /root/reference/prior.py:94,
+        :398-412 re-denoise both endpoints per call, which this avoids).
         """
         if alpha is None:
             alpha = float(num_inference_steps)
         if beta is None:
             beta = float(num_inference_steps)
 
-        latents = spherical_interpolation(latent_start, latent_end, size)
+        if ts is not None:
+            ts = np.asarray(ts, np.float32)
+            assert ts.ndim == 1 and ts[0] == 0.0 and ts[-1] == 1.0, (
+                "ts must be a 1-D schedule with endpoints 0 and 1")
+            size = int(ts.shape[0])
+        latents = spherical_interpolation(latent_start, latent_end, size, ts=ts)
         emb_s, un_s = self.encode_prompt(prompt_start, negative_prompt)
         emb_e, un_e = self.encode_prompt(prompt_end, negative_prompt)
         if guide_prompt is not None:
@@ -443,10 +460,11 @@ class InterpolationPipeline:
             embs = jnp.concatenate([emb_s] + [emb_g] * (size - 2) + [emb_e], axis=0)
             uncond = jnp.concatenate([un_s] + [un_g] * (size - 2) + [un_e], axis=0)
         else:
-            embs = linear_interpolation(emb_s, emb_e, size=size)
-            uncond = linear_interpolation(un_s, un_e, size=size)
+            embs = linear_interpolation(emb_s, emb_e, size=size, ts=ts)
+            uncond = linear_interpolation(un_s, un_e, size=size, ts=ts)
 
-        coef = jnp.asarray(generate_beta_schedule(size, alpha, beta, force_endpoints=True))
+        coef = jnp.asarray(ts) if ts is not None else jnp.asarray(
+            generate_beta_schedule(size, alpha, beta, force_endpoints=True))
         return self._run_sequence(
             latents, embs, uncond, coef, num_inference_steps, warmup_ratio,
             early, late, guidance_scale, output_type=output_type,
@@ -573,18 +591,37 @@ class InterpolationPipeline:
         beta: Optional[float] = None,
         init: str = "linear",
         guidance_scale: Optional[float] = None,
+        batched: bool = True,
     ) -> np.ndarray:
         """Frame-at-a-time stitched generation (reference gradio :306-392).
 
-        Memory-light compatibility mode: (size-2) 3-frame runs at Beta-PPF
-        points, stitched [first 2] + middles + [last]. ``init='denoising'``
-        routes to the denoising-interpolation baseline.
+        Reference semantics: (size-2) 3-frame runs at Beta-PPF points,
+        stitched [first 2] + middles + [last] — which re-denoises BOTH
+        endpoint frames on every call (3(size-2) frame-denoises for size
+        frames). ``batched=True`` (default) computes the mathematically
+        identical sequence in ONE size-frame batched run via
+        ``interpolate(ts=...)`` — every AID mode sources K/V only from the
+        endpoint rows, so each middle frame depends only on its own
+        latent/embeds and the two endpoint trajectories (SURVEY §7;
+        equivalence pinned in tests/test_pipeline.py). Set ``batched=False``
+        for the reference's exact sequential structure (memory-light mode).
+        ``init='denoising'`` routes to the denoising-interpolation baseline;
+        non-linear ``init`` falls back to the sequential path (the batched
+        engine lerps embeds).
         """
         if alpha is None:
             alpha = float(num_inference_steps)
         if beta is None:
             beta = float(num_inference_steps)
         betas = generate_beta_schedule(size, alpha, beta, force_endpoints=True)
+        if batched and init == "linear":
+            return self.interpolate(
+                latent_start, latent_end, prompt_start, prompt_end,
+                guide_prompt=guide_prompt, negative_prompt=negative_prompt,
+                size=size, num_inference_steps=num_inference_steps,
+                warmup_ratio=warmup_ratio, early=early, late=late,
+                guidance_scale=guidance_scale, ts=betas,
+            )
         final = None
         for i in range(size - 2):
             it = float(betas[i + 1])

@@ -169,6 +169,7 @@ class InterpolationXLPipeline(InterpolationPipeline):
         alpha: Optional[float] = None,
         beta: Optional[float] = None,
         guidance_scale: Optional[float] = None,
+        ts=None,
         height: Optional[int] = None,
         width: Optional[int] = None,
         denoising_end: Optional[float] = None,
@@ -189,7 +190,17 @@ class InterpolationXLPipeline(InterpolationPipeline):
         height = height or self.default_size
         width = width or self.default_size
 
-        latents = spherical_interpolation(latent_start, latent_end, size)
+        if ts is not None:
+            # explicit per-frame coefficient points (see base interpolate):
+            # latents slerp, embeds/pooled lerp AND the attention coef all
+            # use these points — the batched engine behind
+            # interpolate_save_gpu / the prior loops
+            import numpy as _np
+            ts = _np.asarray(ts, _np.float32)
+            assert ts.ndim == 1 and ts[0] == 0.0 and ts[-1] == 1.0, (
+                "ts must be a 1-D schedule with endpoints 0 and 1")
+            size = int(ts.shape[0])
+        latents = spherical_interpolation(latent_start, latent_end, size, ts=ts)
         emb_s, un_s, pooled_s, neg_pooled_s = self.encode_prompt(prompt_start, negative_prompt)
         emb_e, un_e, pooled_e, neg_pooled_e = self.encode_prompt(prompt_end, negative_prompt)
 
@@ -201,12 +212,13 @@ class InterpolationXLPipeline(InterpolationPipeline):
             neg_pooled = jnp.concatenate(
                 [neg_pooled_s] + [neg_pooled_g] * (size - 2) + [neg_pooled_e], axis=0)
         else:
-            embs = linear_interpolation(emb_s, emb_e, size=size)
-            uncond = linear_interpolation(un_s, un_e, size=size)
-            pooled = linear_interpolation(pooled_s, pooled_e, size=size)
-            neg_pooled = linear_interpolation(neg_pooled_s, neg_pooled_e, size=size)
+            embs = linear_interpolation(emb_s, emb_e, size=size, ts=ts)
+            uncond = linear_interpolation(un_s, un_e, size=size, ts=ts)
+            pooled = linear_interpolation(pooled_s, pooled_e, size=size, ts=ts)
+            neg_pooled = linear_interpolation(neg_pooled_s, neg_pooled_e, size=size, ts=ts)
 
-        coef = jnp.asarray(generate_beta_schedule(size, alpha, beta, force_endpoints=True))
+        coef = jnp.asarray(ts) if ts is not None else jnp.asarray(
+            generate_beta_schedule(size, alpha, beta, force_endpoints=True))
         time_ids, neg_time_ids = self._time_ids_pair(
             size, height, width, original_size, crops_coords_top_left,
             target_size, negative_original_size,

@@ -117,6 +117,13 @@ def bayesian_prior_selection(
     the midpoint frame is perceptually closer to the first source, alpha
     should exceed beta (prior.py:418-438), enforced by zeroing the objective
     on the wrong side.
+
+    Objective cost (SURVEY §7): the reference's objective drives
+    interpolate_save_gpu's (size-2) separate 3-frame runs per BO step
+    (/root/reference/prior.py:398-412) — 3(size-2) frame-denoises each.
+    Here interpolate_save_gpu defaults to its batched fast path (one
+    size-frame run at the Beta-PPF points, mathematically identical output),
+    so each BO step costs `size` frame-denoises.
     """
 
     def smoothness_of(images) -> float:

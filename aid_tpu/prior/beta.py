@@ -135,6 +135,29 @@ class BetaPriorPipeline:
         ims = self.pipe.interpolate_single(t, **kw)
         return ims
 
+    def _gen_batch(self, ts: Sequence[float], **kw) -> np.ndarray:
+        """Generate middle frames at coefficient points ``ts`` in ONE
+        batched (k+2)-frame run (SURVEY §7 "batch candidate points per
+        round"): every AID mode sources K/V only from the endpoint rows, so
+        each frame equals the middle of a 3-frame interpolate_single run at
+        the same point (equivalence pinned in tests/test_prior.py). Returns
+        the (k, H, W, 3) middle frames in ``ts`` order."""
+        kw = dict(kw)
+        kw.setdefault("early", "fused_outer")
+        kw.pop("init", None)  # batched engine is linear-init only
+        seed = kw.pop("seed", 0)
+        if kw.get("latent_start") is None:
+            kw["latent_start"] = self.pipe.generate_latent(seed)
+        if kw.get("latent_end") is None:
+            kw["latent_end"] = self.pipe.generate_latent(seed + 1)
+        order = np.argsort(ts, kind="stable")
+        full = np.concatenate([[0.0], np.asarray(ts, np.float32)[order], [1.0]])
+        ims = self.pipe.interpolate(ts=full, **kw)
+        middles = np.asarray(ims[1:-1])
+        inv = np.empty(len(order), np.intp)
+        inv[order] = np.arange(len(order))
+        return middles[inv]
+
     def explore_with_beta(
         self,
         prompt_start: str,
@@ -148,9 +171,19 @@ class BetaPriorPipeline:
         init_beta: float = 3.0,
         uniform: bool = False,
         verbose: bool = False,
+        batch_k: int = 1,
         **kwargs,
     ):
-        """Iterative largest-gap exploration (reference prior.py:119-199)."""
+        """Iterative largest-gap exploration (reference prior.py:119-199).
+
+        ``batch_k``: candidate points explored per round. 1 (default)
+        reproduces the reference's sequential insert-refit-insert sequence
+        exactly. k>1 picks the k largest gaps' midpoints with the CURRENT
+        (alpha, beta) fit and generates them in ONE (k+2)-frame batched run
+        (SURVEY §7 mandate), refitting once per round — a different (but
+        equally valid) exploration sequence that amortizes the endpoint
+        re-denoise: k+2 frame-denoises per k points vs 3 per point.
+        """
         kw = dict(
             prompt_start=prompt_start, prompt_end=prompt_end,
             negative_prompt=negative_prompt, latent_start=latent_start,
@@ -164,25 +197,15 @@ class BetaPriorPipeline:
         ds = [self._dist(features[0], features[1]), self._dist(features[1], features[2])]
         alpha, beta = init_alpha, init_beta
 
-        while len(xs) < exploration_size:
-            idx = int(np.argmax(ds))
+        def _midpoint(idx):
             A, B = xs[idx], xs[idx + 1]
-            # insert at the Beta-CDF midpoint of the largest gap (prior.py:75-89)
-            F_t = (beta_cdf(A, alpha, beta) + beta_cdf(B, alpha, beta)) / 2.0
-            t = float(beta_ppf(F_t, alpha, beta))
             if uniform:
-                # reference prior.py:87-89: uniform mode picks the widest
-                # COEFFICIENT gap (not the largest perceptual-distance gap)
-                # and bisects it at the arithmetic midpoint
-                gaps = np.asarray(xs) - np.asarray([0.0] + xs[:-1])
-                idx = int(np.argmax(gaps)) - 1
-                A, B = xs[idx], xs[idx + 1]
-                t = (A + B) / 2.0
-            if not (0.0 < t < 1.0) or not np.isfinite(t):
-                break
-            ims = self._gen(t, **kw)
-            new_img = ims[1]
-            new_feat = self.feature_fn(new_img[None])[0]
+                return (A + B) / 2.0
+            # Beta-CDF midpoint of the gap (prior.py:75-89)
+            F_t = (beta_cdf(A, alpha, beta) + beta_cdf(B, alpha, beta)) / 2.0
+            return float(beta_ppf(F_t, alpha, beta))
+
+        def _insert(idx, t, new_img, new_feat):
             d1 = self._dist(features[idx], new_feat)
             d2 = self._dist(features[idx + 1], new_feat)
             images.insert(idx + 1, new_img)
@@ -191,6 +214,35 @@ class BetaPriorPipeline:
             del ds[idx]
             ds.insert(idx, d1)
             ds.insert(idx + 1, d2)
+
+        while len(xs) < exploration_size:
+            if uniform:
+                # reference prior.py:87-89: uniform mode picks the widest
+                # COEFFICIENT gap (not the largest perceptual-distance gap)
+                # and bisects it at the arithmetic midpoint
+                gaps = np.diff(np.asarray(xs))
+                ranked = np.argsort(-gaps, kind="stable")  # ties: first gap wins (argmax semantics)
+            else:
+                ranked = np.argsort(-np.asarray(ds), kind="stable")
+            k = max(1, min(batch_k, exploration_size - len(xs)))
+            cand = []  # (gap index, midpoint) for the k largest gaps
+            for idx in ranked[:k]:
+                t = _midpoint(int(idx))
+                if (0.0 < t < 1.0) and np.isfinite(t):
+                    cand.append((int(idx), t))
+            if not cand:
+                break
+            if len(cand) == 1:
+                idx, t = cand[0]
+                new_imgs = self._gen(t, **kw)[1:2]
+            else:
+                new_imgs = self._gen_batch([t for _, t in cand], **kw)
+            # insert in descending gap-index order so earlier inserts don't
+            # shift later candidates' gap indices
+            for (idx, t), img in sorted(
+                    zip(cand, new_imgs), key=lambda p: -p[0][0]):
+                new_feat = self.feature_fn(np.asarray(img)[None])[0]
+                _insert(idx, t, img, new_feat)
             if uniform:
                 alpha, beta = 1.0, 1.0
             else:
@@ -238,14 +290,17 @@ class BetaPriorPipeline:
         init_beta: float = 3.0,
         interpolation_size: int = 7,
         uniform: bool = False,
+        batch_k: int = 1,
         **kwargs,
     ) -> List[np.ndarray]:
         """Explore then select (reference prior.py:299-340). Stashes
-        images/ds/xs/alpha/beta_param for inspection, like the reference."""
+        images/ds/xs/alpha/beta_param for inspection, like the reference.
+        ``batch_k`` > 1 enables batched candidate exploration (see
+        explore_with_beta)."""
         images, features, ds, xs, alpha, beta = self.explore_with_beta(
             prompt_start, prompt_end, negative_prompt, latent_start, latent_end,
             num_inference_steps, exploration_size, init_alpha, init_beta,
-            uniform=uniform, **kwargs,
+            uniform=uniform, batch_k=batch_k, **kwargs,
         )
         idxs = self.extract_uniform_points_plus(features, interpolation_size)
         self.images, self.ds, self.xs = images, ds, xs

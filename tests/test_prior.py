@@ -64,6 +64,7 @@ class _FakePipe:
 
     def __init__(self):
         self.calls = []
+        self.batch_calls = []
 
     def interpolate_single(self, t, *args, **kwargs):
         self.calls.append(t)
@@ -71,6 +72,17 @@ class _FakePipe:
             x = np.full((8, 8, 3), tv * 255.0)
             return x.astype(np.uint8)
         return np.stack([img(0.0), img(t), img(1.0)])
+
+    def generate_latent(self, seed=0):
+        return np.zeros((1, 4, 4, 4), np.float32)
+
+    def interpolate(self, latent_start=None, latent_end=None, prompt_start="",
+                    prompt_end="", ts=None, **kwargs):
+        ts = np.asarray(ts, np.float32)
+        assert ts[0] == 0.0 and ts[-1] == 1.0 and np.all(np.diff(ts) >= 0)
+        self.batch_calls.append([float(t) for t in ts])
+        return np.stack(
+            [np.full((8, 8, 3), t * 255.0).astype(np.uint8) for t in ts])
 
     def interpolate_save_gpu(self, *args, size=3, alpha=None, beta=None, **kw):
         from aid_tpu.ops.interp import generate_beta_schedule
@@ -118,6 +130,67 @@ class TestBetaPriorPipeline:
         assert alpha == 1.0 and beta == 1.0
         # uniform midpoint insertion: 0.25/0.75 appear
         assert any(abs(x - 0.25) < 1e-6 for x in xs)
+
+
+class TestBatchedExploration:
+    """SURVEY §7 batched candidate generation (VERDICT r4 next #2b)."""
+
+    def test_gen_batch_preserves_input_order(self):
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        out = bp._gen_batch([0.7, 0.2], prompt_start="a", prompt_end="b",
+                            latent_start=None, latent_end=None)
+        assert out.shape[0] == 2
+        # the engine sorts ts internally; results must come back in input order
+        assert abs(out[0].mean() / 255.0 - 0.7) < 2 / 255
+        assert abs(out[1].mean() / 255.0 - 0.2) < 2 / 255
+        assert pipe.batch_calls[0] == sorted(pipe.batch_calls[0])
+
+    def test_batch_k_explores_in_rounds(self):
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        images, features, ds, xs, alpha, beta = bp.explore_with_beta(
+            "a", "b", exploration_size=9, batch_k=3, num_inference_steps=2,
+        )
+        assert len(xs) == 9 and xs == sorted(xs)
+        assert xs[0] == 0.0 and xs[-1] == 1.0
+        assert len(images) == len(features) == 9 and len(ds) == 8
+        # every frame sits at its coefficient (fake image encodes t)
+        for im, t in zip(images, xs):
+            assert abs(im.mean() / 255.0 - t) < 2 / 255
+        # round 1 has only 2 gaps (batch of 2+2), round 2 inserts 3 (3+2),
+        # the last single insert takes the k=1 interpolate_single path
+        assert [len(c) for c in pipe.batch_calls] == [4, 5]
+        assert len(pipe.calls) == 2  # initial t=0.5 + the final single insert
+
+    def test_batch_k_respects_exploration_cap(self):
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        *_, xs, _, _ = bp.explore_with_beta(
+            "a", "b", exploration_size=6, batch_k=4, num_inference_steps=2,
+        )
+        assert len(xs) == 6  # 3 initial + one round clamped to k=3
+
+    def test_batch_k_one_keeps_reference_sequence(self):
+        """batch_k=1 must drive interpolate_single exactly like the
+        default path (same explored points, no batched calls)."""
+        ref, bat = _FakePipe(), _FakePipe()
+        BetaPriorPipeline(ref, _fake_features).explore_with_beta(
+            "a", "b", exploration_size=7, num_inference_steps=2)
+        BetaPriorPipeline(bat, _fake_features).explore_with_beta(
+            "a", "b", exploration_size=7, batch_k=1, num_inference_steps=2)
+        assert bat.calls == ref.calls
+        assert bat.batch_calls == []
+
+    def test_generate_interpolation_batched(self):
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        out = bp.generate_interpolation(
+            "a", "b", exploration_size=10, interpolation_size=5,
+            batch_k=4, num_inference_steps=2,
+        )
+        assert len(out) == 5
+        assert len(pipe.batch_calls) >= 1
 
 
 class TestGini:

@@ -70,6 +70,17 @@ class TestSDXL:
         )
         assert out.shape == (4, 16, 16, 3)
 
+    def test_save_gpu_batched_matches_sequential(self, xl_pipe):
+        """SDXL batched fast path vs the stitched 3-frame loop (pooled
+        embeds and time_ids must interpolate per-frame identically)."""
+        l0, l1 = xl_pipe.generate_latent(0), xl_pipe.generate_latent(1)
+        kw = dict(size=4, num_inference_steps=2, warmup_ratio=0.5)
+        seq = xl_pipe.interpolate_save_gpu(l0, l1, "a cat", "a dog",
+                                           batched=False, **kw)
+        bat = xl_pipe.interpolate_save_gpu(l0, l1, "a cat", "a dog",
+                                           batched=True, **kw)
+        np.testing.assert_allclose(bat.astype(int), seq.astype(int), atol=1)
+
     def test_uncond_pass_uses_negative_pooled(self, xl_pipe):
         """The uncond UNet forward must receive the NEGATIVE pooled embeds /
         time_ids (reference sdxl:2275-2293): changing only added_cond_uncond
