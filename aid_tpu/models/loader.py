@@ -310,6 +310,22 @@ def load_interpolation_pipeline(
     )
 
 
+def infer_single_file_prediction_type(cross_dim: int, global_step) -> str:
+    """SD2.x v-prediction detection for single-file checkpoints.
+
+    Single-file checkpoints carry no scheduler config, but the SD2.x 768-v
+    releases are distinguishable by the training ``global_step`` metadata
+    stored alongside ``state_dict`` in the torch .ckpt (diffusers'
+    from_single_file heuristic: >= 875_000 -> the v2/768 v-objective run;
+    the 512 base run stopped earlier). Only meaningful for the
+    1024-cross-dim (SD2.x) UNet layout; SD1.x is always epsilon. Bare
+    safetensors exports lack the metadata and default to epsilon — pass an
+    explicit scheduler for those."""
+    if cross_dim == 1024 and global_step is not None and int(global_step) >= 875_000:
+        return "v_prediction"
+    return "epsilon"
+
+
 def load_single_file_pipeline(
     checkpoint_path: str,
     tokenizer_path: str,
@@ -348,6 +364,9 @@ def load_single_file_pipeline(
         import torch
 
         sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    global_step = sd.get("global_step")  # training step metadata (torch
+    # .ckpt top level, alongside state_dict) — used for the SD2.x
+    # v-prediction heuristic below; absent from bare safetensors exports
     if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
         sd = sd["state_dict"]
 
@@ -412,12 +431,23 @@ def load_single_file_pipeline(
     vae = AutoencoderKL(C.VAEConfig())
     vae_params = convert_vae_state_dict(vae_sd)
 
-    text, text_params = _infer_text(text_sd)
+    # SD2.x ships an OpenCLIP ViT-H text tower (gelu MLPs; already
+    # converted to transformers naming by convert_ldm_checkpoint)
+    text, text_params = _infer_text(
+        text_sd, hidden_act="gelu" if cross_dim == 1024 else "quick_gelu")
 
     # no scheduler_config.json in single-file checkpoints: load_scheduler
     # degrades to the SD-1.x defaults (scaled_linear 0.00085-0.012) and
     # keeps the name->class dispatch in ONE place
     scheduler = load_scheduler(os.path.dirname(checkpoint_path) or ".", scheduler_name)
+    if (infer_single_file_prediction_type(cross_dim, global_step)
+            == "v_prediction" and hasattr(scheduler, "config")):
+        import dataclasses
+
+        scheduler = dataclasses.replace(
+            scheduler,
+            config=dataclasses.replace(scheduler.config,
+                                       prediction_type="v_prediction"))
 
     return InterpolationPipeline(
         unet=unet, unet_params=unet_params,

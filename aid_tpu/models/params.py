@@ -387,9 +387,16 @@ def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
 
     Covers the reference's FromSingleFileMixin surface (reference
     pipeline_interpolated_sd.py:283-289) for SD1.x-format checkpoints
-    (CLIP text encoder under cond_stage_model.transformer). SD2.x
-    OpenCLIP-format text encoders (cond_stage_model.model.*) are rejected
-    with a clear error. model_ema weights are ignored.
+    (CLIP text encoder under ``cond_stage_model.transformer.``,
+    transformers naming passed through) AND SD2.x-format checkpoints
+    (OpenCLIP ViT-H text tower under ``cond_stage_model.model.``,
+    converted via :func:`convert_open_clip_text_state_dict` — the same
+    mapper SDXL's bigG encoder uses — with the LAST resblock dropped:
+    SD2.x conditions on the PENULTIMATE hidden state, and diffusers'
+    single-file conversion realizes that by building a 23-layer
+    transformers CLIPTextModel whose final_layer_norm is ln_final, so
+    final-layer output == penultimate + ln_final). model_ema weights are
+    ignored.
     """
     if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
         sd = sd["state_dict"]
@@ -398,12 +405,8 @@ def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
             "this is an SDXL-format single-file checkpoint; use "
             "convert_ldm_checkpoint_xl / load_single_file_pipeline (which "
             "auto-detects the layout)")
-    if any(k.startswith("cond_stage_model.model.") for k in sd):
-        raise ValueError(
-            "SD2.x OpenCLIP single-file checkpoints are not supported; "
-            "convert to the diffusers directory layout instead")
 
-    unet_sd, vae_sd, text_sd = {}, {}, {}
+    unet_sd, vae_sd, text_sd, open_clip_sd = {}, {}, {}, {}
     for k, v in sd.items():
         if k.startswith("model_ema."):
             continue
@@ -422,6 +425,18 @@ def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
                 vae_sd[nk] = w
         elif k.startswith("cond_stage_model.transformer."):
             text_sd[k[len("cond_stage_model.transformer."):]] = v
+        elif k.startswith("cond_stage_model.model."):
+            open_clip_sd[k[len("cond_stage_model.model."):]] = v
+    if open_clip_sd:
+        text_sd = convert_open_clip_text_state_dict(open_clip_sd)
+        # penultimate-layer conditioning: drop the last resblock, SD2.x's
+        # text_projection is unused for conditioning
+        layer_idxs = [int(k.split(".")[3]) for k in text_sd
+                      if k.startswith("text_model.encoder.layers.")]
+        last = max(layer_idxs)
+        text_sd = {k: v for k, v in text_sd.items()
+                   if not k.startswith(f"text_model.encoder.layers.{last}.")
+                   and k != "text_projection.weight"}
     return unet_sd, vae_sd, text_sd
 
 

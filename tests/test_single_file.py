@@ -179,10 +179,6 @@ class TestSingleFileConversion:
         b, _, _ = model.apply(converted, ids)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
-    def test_sd2_openclip_rejected(self):
-        with pytest.raises(ValueError, match="OpenCLIP"):
-            convert_ldm_checkpoint({"cond_stage_model.model.ln_final.weight": np.zeros(4)})
-
     def test_state_dict_unwrap(self):
         inner = {"model.diffusion_model.out.0.weight": np.ones(3, np.float32)}
         unet_sd, _, _ = convert_ldm_checkpoint({"state_dict": inner})
@@ -300,6 +296,61 @@ class TestSingleFileXL:
         with pytest.raises(ValueError, match="SDXL"):
             convert_ldm_checkpoint(
                 {"conditioner.embedders.0.transformer.x": np.zeros(2)})
+
+
+class TestSingleFileSD2:
+    """SD2.x single-file layout (VERDICT r4 next #5): OpenCLIP ViT-H text
+    tower under cond_stage_model.model.*, converted via the same mapper as
+    SDXL's bigG encoder, with the LAST resblock dropped (penultimate-layer
+    conditioning) and text_projection discarded."""
+
+    def test_openclip_text_tower_roundtrip_with_penultimate_drop(self):
+        import dataclasses as dc
+
+        cfg = dc.replace(configs.TINY_CLIP_TEXT, hidden_act="gelu")
+        model = CLIPTextModel(cfg)  # the 2-layer model we expect AFTER conversion
+        params = model.init(jax.random.PRNGKey(4), jnp.zeros((1, 16), jnp.int32))
+
+        oc = _openclip_inverse(_flax_to_torch(params["params"]))
+        # the original checkpoint has one MORE resblock (the final layer the
+        # conversion must drop) plus a text_projection it must discard
+        n_layers = cfg.num_hidden_layers
+        rng = np.random.default_rng(0)
+        for leaf in ("weight", "bias"):
+            for sub in (f"attn.in_proj_{leaf}",):
+                ref = oc[f"transformer.resblocks.0.{sub}"]
+                oc[f"transformer.resblocks.{n_layers}.{sub}"] = rng.normal(
+                    size=ref.shape).astype(np.float32)
+        for sub in ("attn.out_proj.weight", "attn.out_proj.bias",
+                    "ln_1.weight", "ln_1.bias", "ln_2.weight", "ln_2.bias",
+                    "mlp.c_fc.weight", "mlp.c_fc.bias",
+                    "mlp.c_proj.weight", "mlp.c_proj.bias"):
+            ref = oc[f"transformer.resblocks.0.{sub}"]
+            oc[f"transformer.resblocks.{n_layers}.{sub}"] = rng.normal(
+                size=ref.shape).astype(np.float32)
+        oc["text_projection"] = rng.normal(
+            size=(cfg.hidden_size, cfg.hidden_size)).astype(np.float32)
+        oc["logit_scale"] = np.float32(4.6)
+
+        sd = {"cond_stage_model.model." + k: v for k, v in oc.items()}
+        sd["model_ema.decay"] = np.float32(0.999)  # must be ignored
+        _, _, text_sd = convert_ldm_checkpoint(sd)
+        assert "text_projection.weight" not in text_sd
+        assert not any(f".layers.{n_layers}." in k for k in text_sd)
+
+        converted = convert_clip_text_state_dict(text_sd)
+        ids = jnp.array([[1, 5, 2, 2]])
+        a, _, _ = model.apply(params, ids)
+        b, _, _ = model.apply(converted, ids)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_v_prediction_heuristic(self):
+        from aid_tpu.models.loader import infer_single_file_prediction_type
+
+        assert infer_single_file_prediction_type(1024, 875_000) == "v_prediction"
+        assert infer_single_file_prediction_type(1024, 220_000) == "epsilon"
+        assert infer_single_file_prediction_type(1024, None) == "epsilon"
+        assert infer_single_file_prediction_type(768, 875_000) == "epsilon"
 
     def test_xl_converter_rejects_sd(self):
         from aid_tpu.models.params import convert_ldm_checkpoint_xl
