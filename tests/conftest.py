@@ -41,6 +41,8 @@ _SLOW_MODULES = {
     "test_loaders_extras.py",  # safety-checker pipeline integration
     "test_sdxl_ip.py",  # SDXL + IP-Adapter integration
     "test_params.py",  # converter round-trips (332 LoC of synthetic dicts)
+    "test_models.py",  # eager model-forward compiles dominate the fast gate
+    "test_single_file.py",  # full tiny-checkpoint roundtrips (UNet+VAE inits)
     "test_schedulers_multistep.py",  # UniPC/EDM multistep traces
     "test_parity.py",  # tiny-pipeline denoise runs (latent/embeds import)
 }

@@ -82,6 +82,10 @@ def test_mfu():
     assert abs(mfu(197e12, 2.0) - 0.5) < 1e-9
 
 
+import pytest
+
+
+@pytest.mark.slow  # two tiny-UNet trace+inits; keep the fast gate lean
 def test_tiny_unet_magnitude():
     """Order-of-magnitude pin on a real model trace: the tiny UNet forward
     must count in the right ballpark and scale ~4x with 2x spatial size."""
