@@ -23,10 +23,30 @@ workflow, re-measured every round with the current kernels (round 3:
 46.4 s/sequence = 0.1508 frames/s) so the ratio isolates the sequence-
 batching redesign, not kernel differences.
 
+Round-5 additions (VERDICT r4 missing #3/#4):
+  * ``mfu_model_vs_peak`` / ``mfu_vs_measured_matmul`` — analytic matmul+conv
+    FLOPs of the headline program (jaxpr walk, aid_tpu/utils/flops.py:
+    scan x steps, pallas kernels x grid) over measured time, against BOTH
+    denominators: 197 TF/s v5e bf16 spec peak, and 144 TF/s this chip's
+    measured large-matmul rate.
+  * ``phase_p50_s`` / ``phase_share`` — text-encode / denoise / VAE-decode
+    split of the full SDXL sequence (synthetic dual text encoders + fp32
+    VAE at real scale, per-frame decode matching reference
+    pipeline_interpolated_sdxl.py:2387-2390 semantics).
+  * ``dyn_selection_*`` — the dynamic-selection workload
+    (BetaPriorPipeline.generate_interpolation, exploration 16 -> 7 frames,
+    reference prior.py:299-340) on a full synthetic SD1.5 pipeline:
+    reference-structured sequential exploration (batch_k=1, one 3-frame
+    diffusion per explored point) vs batched candidate exploration
+    (batch_k=4, SURVEY §7 mandate).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 NOTE (axon): block_until_ready() is a no-op over the tunnel; execution is
 forced by pulling a scalar checksum to host.
+
+Set AID_BENCH_TINY=1 for a CPU-runnable structural smoke of every section
+(tiny configs, few steps — validates the code paths, not performance).
 """
 
 import json
@@ -50,9 +70,11 @@ SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC = 0.1522  # measured on this v5e
 # 3-frame run; both sides of the ratio use the same round-4 split-endpoint
 # kernels and random-normal synthetic params)
 
-NUM_STEPS = 28
-FRAMES = 7
-LATENT = 128  # 1024px / 8
+TINY = bool(os.environ.get("AID_BENCH_TINY"))  # CPU structural smoke mode
+
+NUM_STEPS = 4 if TINY else 28
+FRAMES = 5 if TINY else 7
+LATENT = 8 if TINY else 128  # 1024px / 8
 
 
 def _random_params(shapes, dtype):
@@ -79,13 +101,14 @@ def main():
     from aid_tpu.schedulers.euler import EulerDiscreteScheduler
 
     dtype = jnp.bfloat16
-    cfg = configs.SDXL_UNET
+    cfg = configs.TINY_SDXL_UNET if TINY else configs.SDXL_UNET
     unet = UNet2DCondition(cfg, dtype=dtype)
 
+    pooled_dim = cfg.projection_class_embeddings_input_dim - 6 * cfg.addition_time_embed_dim
     sample = jax.random.normal(jax.random.PRNGKey(0), (FRAMES, LATENT, LATENT, cfg.in_channels), dtype)
     ehs = jax.random.normal(jax.random.PRNGKey(1), (FRAMES, 77, cfg.cross_attention_dim), dtype)
     added = {
-        "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (FRAMES, 1280), dtype),
+        "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (FRAMES, pooled_dim), dtype),
         "time_ids": jnp.broadcast_to(
             jnp.array([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]), (FRAMES, 6)
         ),
@@ -140,6 +163,21 @@ def main():
 
     frames_per_sec = FRAMES / min(times)
 
+    # ---- MFU (VERDICT r4 missing #4): analytic matmul+conv FLOPs of the
+    # exact headline program, by jaxpr traversal (never executes — safe on
+    # the tunnel). Elementwise/softmax/norm FLOPs are excluded, so this is
+    # a floor on true hardware utilization; see aid_tpu/utils/flops.py.
+    from aid_tpu.utils.flops import (
+        MEASURED_MATMUL_FLOPS,
+        TPU_V5E_PEAK_BF16_FLOPS,
+        count_flops,
+    )
+
+    headline_flops = count_flops(run, sample * state.init_noise_sigma)
+    t_best = min(times)
+    mfu_peak = headline_flops / t_best / TPU_V5E_PEAK_BF16_FLOPS
+    mfu_measured = headline_flops / t_best / MEASURED_MATMUL_FLOPS
+
     # secondary size-8 metric. The round-2 "free 8th frame" note held for a
     # single VANILLA forward (conv/GEMM batch dim pads 7->8 in XLA), but the
     # full sequence is NOT free: the attention kernels grid over B and the
@@ -150,7 +188,7 @@ def main():
     ehs8 = jnp.concatenate([ehs, ehs[:1]], axis=0)
     uncond8 = jnp.concatenate([uncond, uncond[:1]], axis=0)
     added8 = {k: jnp.concatenate([v, v[:1]], axis=0) for k, v in added.items()}
-    coef8 = jnp.asarray(generate_beta_schedule(8, NUM_STEPS, NUM_STEPS, force_endpoints=True))
+    coef8 = jnp.asarray(generate_beta_schedule(FRAMES + 1, NUM_STEPS, NUM_STEPS, force_endpoints=True))
 
     def run8(latents):
         return engine.denoise_sequence(
@@ -178,20 +216,22 @@ def main():
     # finiteness either way.
     from aid_tpu.schedulers.ddim import DDIMScheduler
 
-    sd_cfg = configs.SD15_UNET
+    sd_cfg = configs.TINY_UNET if TINY else configs.SD15_UNET
+    SD_LATENT = 8 if TINY else 64  # 512px / 8
+    SD_STEPS = 4 if TINY else 25
     sd_unet = UNet2DCondition(sd_cfg, dtype=dtype)
     sd_shapes = jax.eval_shape(
-        lambda r: sd_unet.init(r, jnp.zeros((1, 64, 64, sd_cfg.in_channels), dtype),
+        lambda r: sd_unet.init(r, jnp.zeros((1, SD_LATENT, SD_LATENT, sd_cfg.in_channels), dtype),
                                jnp.array(0),
                                jnp.zeros((1, 77, sd_cfg.cross_attention_dim), dtype)),
         jax.random.PRNGKey(5),
     )
     sd_params = _random_params(sd_shapes, dtype)
     sd_sched = DDIMScheduler()
-    sd_state = sd_sched.init(25)
+    sd_state = sd_sched.init(SD_STEPS)
 
     def sd_run(n_frames, paid):
-        lat = jax.random.normal(jax.random.PRNGKey(7), (n_frames, 64, 64, sd_cfg.in_channels), dtype)
+        lat = jax.random.normal(jax.random.PRNGKey(7), (n_frames, SD_LATENT, SD_LATENT, sd_cfg.in_channels), dtype)
         e_s = jax.random.normal(jax.random.PRNGKey(8), (1, 77, sd_cfg.cross_attention_dim), dtype)
         e_e = jax.random.normal(jax.random.PRNGKey(9), (1, 77, sd_cfg.cross_attention_dim), dtype)
         if paid:  # guide-prompt broadcast for the middles (PAID)
@@ -201,14 +241,14 @@ def main():
             w = jnp.linspace(0, 1, n_frames).reshape(-1, 1, 1)
             embs_sd = (1 - w) * e_s + w * e_e
         un_sd = jax.random.normal(jax.random.PRNGKey(11), embs_sd.shape, dtype)
-        coef_sd = jnp.asarray(generate_beta_schedule(n_frames, 25, 25, force_endpoints=True))
+        coef_sd = jnp.asarray(generate_beta_schedule(n_frames, SD_STEPS, SD_STEPS, force_endpoints=True))
 
         def go(latents):
             return engine.denoise_sequence(
                 sd_unet, sd_sched, sd_params,
                 latents, embs_sd, un_sd, coef_sd, sd_state, jnp.float32(7.5),
                 early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
-                num_steps=25, warmup_steps=12,
+                num_steps=SD_STEPS, warmup_steps=SD_STEPS // 2,
             )
 
         force(go(lat * sd_state.init_noise_sigma))  # compile + warmup
@@ -221,6 +261,125 @@ def main():
 
     sd15_3f = sd_run(3, paid=False)
     sd15_paid_7f = sd_run(7, paid=True)
+
+    # ---- Phase breakdown (VERDICT r4 missing #4): text-encode / denoise /
+    # VAE-decode split of the FULL SDXL sequence. Synthetic dual text
+    # encoders (CLIP-L + bigG) and fp32 VAE at real scale; per-frame decode
+    # matches the reference's memory-capped SDXL semantics
+    # (pipeline_interpolated_sdxl.py:2387-2390). The headline metric above
+    # stays denoise-only for round-over-round comparability;
+    # ``latency_s_full_sequence`` is the end-to-end number.
+    from aid_tpu.models import AutoencoderKL, CLIPTextModel
+    from aid_tpu.utils.profiling import PhaseTimer
+    from aid_tpu.utils.tokenizer import HashTokenizer
+
+    te1_cfg = configs.TINY_CLIP_TEXT if TINY else configs.CLIP_VIT_L_TEXT
+    te2_cfg = configs.TINY_CLIP_TEXT if TINY else configs.SDXL_TEXT_ENCODER_2
+    vae_cfg = configs.TINY_VAE if TINY else configs.SDXL_VAE
+    te1 = CLIPTextModel(te1_cfg, dtype=dtype)
+    te2 = CLIPTextModel(te2_cfg, dtype=dtype)
+    tok = HashTokenizer(te1_cfg.vocab_size)
+    ids = jnp.asarray(tok("a photo of a dog")), jnp.asarray(tok("a photo of a cat"))
+    zero_ids = jnp.zeros((1, 77), jnp.int32)
+    te1_params = _random_params(
+        jax.eval_shape(lambda r: te1.init(r, zero_ids), jax.random.PRNGKey(12)), dtype)
+    te2_params = _random_params(
+        jax.eval_shape(lambda r: te2.init(r, zero_ids), jax.random.PRNGKey(13)), dtype)
+    enc1 = jax.jit(te1.apply)
+    enc2 = jax.jit(te2.apply)
+    img_hw = LATENT * (2 ** (len(vae_cfg.block_out_channels) - 1))
+    vae = AutoencoderKL(vae_cfg)  # fp32: reference force-upcast semantics
+    vae_params = _random_params(
+        jax.eval_shape(lambda r: vae.init(r, jnp.zeros((1, img_hw, img_hw, 3), jnp.float32)),
+                       jax.random.PRNGKey(14)), jnp.float32)
+
+    def encode_prompts():
+        # 2 endpoint prompts x (cond + uncond) x 2 encoders — what the SDXL
+        # pipeline's encode_prompt performs per sequence
+        s = 0.0
+        for i in (*ids, zero_ids, zero_ids):
+            s += force(enc1(te1_params, i)[0]) + force(enc2(te2_params, i)[0])
+        return s
+
+    final_latents = run(sample * state.init_noise_sigma)
+    force(final_latents)
+
+    def decode():
+        return engine.decode_latents(vae, vae_params, final_latents,
+                                     vae_cfg.scaling_factor, per_frame=True)
+
+    encode_prompts()  # compile + warmup
+    force(decode())
+    timer = PhaseTimer()
+    with timer.phase("text_encode") as ph:
+        ph.sync(encode_prompts())  # force() already pulled to host
+    with timer.phase("denoise") as ph:
+        ph.sync(force(run(sample * state.init_noise_sigma)))
+    with timer.phase("vae_decode") as ph:
+        ph.sync(force(decode()))
+    phase_p50 = {k: round(v, 3) for k, v in timer.totals.items()}
+    full_latency = sum(timer.totals.values())
+    phase_share = {k: round(v / full_latency, 3) for k, v in timer.totals.items()}
+
+    # ---- Dynamic-selection workload (VERDICT r4 missing #3 / SURVEY §7):
+    # BetaPriorPipeline.generate_interpolation (exploration 16 -> 7 frames,
+    # reference prior.py:299-340) on a full synthetic SD1.5 512px pipeline.
+    # batch_k=1 is the reference's sequential structure (one 3-frame
+    # diffusion per explored point = 42 frame-denoises); batch_k=4 explores
+    # the 4 largest gaps per round in one (k+2)-frame batched run
+    # (24 frame-denoises). uniform=True keeps the exploration control flow
+    # deterministic so both arms run identical per-round shapes; the
+    # feature scorer is a mean-pool pixel stand-in for CLIP ViT-B/32
+    # (<2% of the real workload's time) — per-round COMPUTE is invariant
+    # to scores.
+    from aid_tpu.pipelines import InterpolationPipeline
+    from aid_tpu.prior.beta import BetaPriorPipeline
+
+    import numpy as np
+
+    sd_text_cfg = configs.TINY_CLIP_TEXT if TINY else configs.CLIP_VIT_L_TEXT
+    sd_vae_cfg = configs.TINY_VAE if TINY else configs.SD_VAE
+    sd_text = CLIPTextModel(sd_text_cfg, dtype=dtype)
+    sd_text_params = _random_params(
+        jax.eval_shape(lambda r: sd_text.init(r, zero_ids), jax.random.PRNGKey(15)), dtype)
+    sd_f = 2 ** (len(sd_vae_cfg.block_out_channels) - 1)
+    sd_img = SD_LATENT * sd_f
+    sd_vae = AutoencoderKL(sd_vae_cfg)
+    sd_vae_params = _random_params(
+        jax.eval_shape(lambda r: sd_vae.init(r, jnp.zeros((1, sd_img, sd_img, 3), jnp.float32)),
+                       jax.random.PRNGKey(16)), jnp.float32)
+    pipe = InterpolationPipeline(
+        unet=sd_unet, unet_params=sd_params, vae=sd_vae, vae_params=sd_vae_params,
+        text_encoder=sd_text, text_params=sd_text_params,
+        tokenizer=HashTokenizer(sd_text_cfg.vocab_size),
+        scheduler=DDIMScheduler(), vae_scale_factor=sd_f,
+    )
+    lat_a, lat_b = pipe.generate_latent(0), pipe.generate_latent(1)
+
+    def pixel_features(ims):
+        a = np.asarray(ims, np.float32)
+        b, h, w, c = a.shape
+        p = min(16, h)
+        return a.reshape(b, p, h // p, p, w // p, c).mean((2, 4)).reshape(b, -1)
+
+    bp = BetaPriorPipeline(pipe, pixel_features)
+    EXPLORE = 6 if TINY else 16
+    SELECT = 4 if TINY else 7
+
+    def dyn_workload(batch_k):
+        t0 = time.perf_counter()
+        out = bp.generate_interpolation(
+            "a photo of a dog", "a photo of a cat",
+            latent_start=lat_a, latent_end=lat_b,
+            num_inference_steps=SD_STEPS, exploration_size=EXPLORE,
+            interpolation_size=SELECT, uniform=True, batch_k=batch_k)
+        assert len(out) == SELECT, f"selected {len(out)} != {SELECT}"
+        return time.perf_counter() - t0
+
+    dyn_workload(4)  # compile + warm every batched shape (incl. 3-frame)
+    dyn_workload(1)
+    dyn_seq_s = min(dyn_workload(1) for _ in range(2))
+    dyn_bat_s = min(dyn_workload(4) for _ in range(2))
 
     print(json.dumps({
         "metric": "sequence_frames_per_sec_per_chip_sdxl_1024px_28steps_7frames",
@@ -239,10 +398,26 @@ def main():
             frames_per_sec / SAME_CHIP_REFERENCE_WORKFLOW_FRAMES_PER_SEC, 3),
         # BASELINE.json's second metric: p50 full-sequence latency
         "latency_s_p50": round(sorted(times)[len(times) // 2], 3),
-        "frames_per_sec_size8": round(8 / min(times8), 4),
+        "frames_per_sec_size8": round((FRAMES + 1) / min(times8), 4),
         # BASELINE.json configs #1/#2 (SD-1.5 512px, 25 DDIM steps)
         "sd15_3frame_frames_per_sec": round(sd15_3f, 3),
         "sd15_paid_7frame_frames_per_sec": round(sd15_paid_7f, 3),
+        # MFU of the headline program: analytic matmul+conv FLOPs (floor on
+        # true utilization; VPU work excluded) over best measured time.
+        # Denominators: 197 TF/s v5e bf16 spec peak / 144 TF/s this chip's
+        # measured large-matmul rate (aid_tpu/utils/flops.py).
+        "headline_matmul_conv_tflop": round(headline_flops / 1e12, 1),
+        "mfu_model_vs_peak": round(mfu_peak, 4),
+        "mfu_vs_measured_matmul": round(mfu_measured, 4),
+        # end-to-end sequence split (text-encode / denoise / VAE-decode)
+        "latency_s_full_sequence": round(full_latency, 3),
+        "phase_p50_s": phase_p50,
+        "phase_share": phase_share,
+        # dynamic-selection workload (exploration 16 -> 7 frames):
+        # reference-structured sequential vs SURVEY §7 batched exploration
+        "dyn_selection_sd15_sequential_s": round(dyn_seq_s, 2),
+        "dyn_selection_sd15_batched_s": round(dyn_bat_s, 2),
+        "dyn_selection_batched_speedup": round(dyn_seq_s / dyn_bat_s, 2),
     }))
 
 

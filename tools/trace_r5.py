@@ -1,0 +1,162 @@
+"""Round-5 hardware trace of the headline sequence (VERDICT r4 next #7).
+
+Captures a jax.profiler trace of ONE 28-step 7-frame SDXL 1024px
+denoise_sequence run (the bench.py headline program) and aggregates device
+op durations by op class, to answer: does the non-attention residual
+(convs, GEGLU, scheduler glue) hold >25% of step time — i.e. is the kernel
+ceiling claim certified, or does round-6 perf work have a target?
+
+Usage (on the TPU):  python tools/trace_r5.py [--steps N] [--out DIR]
+
+Parses the perfetto trace.json.gz the profiler writes (no
+tensorboard_plugin_profile dependency); falls back to listing the trace
+dir if the JSON export is absent. Appends nothing — prints the table;
+PERF.md is updated by hand from the output.
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/aid_tpu_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build_run():
+    from aid_tpu.models import UNet2DCondition, configs
+    from aid_tpu.models.layers import AidMode
+    from aid_tpu.ops.interp import generate_beta_schedule
+    from aid_tpu.pipelines import engine
+    from aid_tpu.schedulers.euler import EulerDiscreteScheduler
+
+    dtype = jnp.bfloat16
+    cfg = configs.SDXL_UNET
+    unet = UNet2DCondition(cfg, dtype=dtype)
+    frames, latent, steps = 7, 128, ARGS.steps
+    sample = jax.random.normal(jax.random.PRNGKey(0), (frames, latent, latent, cfg.in_channels), dtype)
+    ehs = jax.random.normal(jax.random.PRNGKey(1), (frames, 77, cfg.cross_attention_dim), dtype)
+    added = {
+        "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (frames, 1280), dtype),
+        "time_ids": jnp.broadcast_to(jnp.array([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]), (frames, 6)),
+    }
+    shapes = jax.eval_shape(
+        lambda r: unet.init(r, sample[:1], jnp.array(0), ehs[:1], None,
+                            {k: v[:1] for k, v in added.items()}),
+        jax.random.PRNGKey(3),
+    )
+    counter = iter(range(10 ** 6))
+
+    def leaf(s):
+        if s.dtype not in (jnp.float32, jnp.bfloat16):
+            return jnp.zeros(s.shape, s.dtype)
+        k = jax.random.fold_in(jax.random.PRNGKey(6), next(counter))
+        return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
+
+    params = jax.tree_util.tree_map(leaf, shapes)
+    scheduler = EulerDiscreteScheduler()
+    state = scheduler.init(steps)
+    coef = jnp.asarray(generate_beta_schedule(frames, steps, steps, force_endpoints=True))
+    uncond = jax.random.normal(jax.random.PRNGKey(4), ehs.shape, dtype)
+
+    def run():
+        # denoise_sequence donates latents: rebuild per call
+        out = engine.denoise_sequence(
+            unet, scheduler, params,
+            sample * state.init_noise_sigma, ehs, uncond, coef, state,
+            jnp.float32(5.0),
+            early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
+            num_steps=steps, warmup_steps=steps // 2, added_cond=added,
+        )
+        val = float(jnp.sum(out.astype(jnp.float32)))  # force (axon: block_until_ready no-op)
+        assert val == val, "NaN output"
+        return val
+
+    return run
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    if "custom" in n or "flash" in n or "mosaic" in n or "tpu_custom_call" in n:
+        return "pallas-kernel (interpolated flash attention)"
+    if "conv" in n:
+        return "convolution"
+    if "dot" in n or "gemm" in n or "matmul" in n or "einsum" in n:
+        return "matmul"
+    if "all-gather" in n or "all-reduce" in n or "collective" in n or "copy" in n:
+        return "copy/collective"
+    if "fusion" in n or "loop" in n:
+        return "fusion (elementwise/GN/GEGLU glue)"
+    if "dynamic" in n or "slice" in n or "gather" in n or "scatter" in n or "concatenate" in n:
+        return "data movement"
+    return "other"
+
+
+def aggregate(trace_dir: str):
+    files = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")),
+                   key=os.path.getmtime)
+    if not files:
+        print("no trace.json.gz found under", trace_dir)
+        for f in glob.glob(os.path.join(trace_dir, "plugins/profile/*/*")):
+            print("  present:", f)
+        return
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device tracks: pid names containing "TPU" (host python threads excluded)
+    device_pids = set()
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+            if "tpu" in e["args"].get("name", "").lower():
+                device_pids.add(e["pid"])
+    print("process tracks:", sorted(pid_names.values()))
+    by_name = collections.Counter()
+    by_class = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            dur = float(e.get("dur", 0.0))
+            nm = e.get("name", "?")
+            if nm.lower().startswith(("run", "program", "module")):  # whole-program wrappers
+                continue
+            by_name[nm] += dur
+            by_class[classify(nm)] += dur
+            total += dur
+    if not by_name:
+        print("no device events captured (tunnel may not support device tracing)")
+        return
+    print(f"\ntotal device-op time: {total / 1e6:.3f} s")
+    print("\n== top-20 ops ==")
+    for nm, d in by_name.most_common(20):
+        print(f"  {d / 1e6:8.3f} s  {100 * d / total:5.1f}%  {nm}")
+    print("\n== op classes ==")
+    for cl, d in by_class.most_common():
+        print(f"  {d / 1e6:8.3f} s  {100 * d / total:5.1f}%  {cl}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=28)
+    p.add_argument("--out", default="/tmp/aid_tpu_trace_r5")
+    p.add_argument("--parse-only", action="store_true",
+                   help="skip execution; aggregate an existing trace dir")
+    ARGS = p.parse_args()
+    if not ARGS.parse_only:
+        run = build_run()
+        t0 = time.perf_counter()
+        run()  # compile + warm (persistent cache)
+        print(f"warmup {time.perf_counter() - t0:.1f}s; tracing one run...")
+        jax.profiler.start_trace(ARGS.out)
+        t0 = time.perf_counter()
+        run()
+        jax.profiler.stop_trace()
+        print(f"traced run {time.perf_counter() - t0:.1f}s -> {ARGS.out}")
+    aggregate(ARGS.out)
