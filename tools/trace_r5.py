@@ -83,6 +83,10 @@ def build_run():
 
 def classify(name: str) -> str:
     n = name.lower()
+    if n.startswith(("jit_", "while", "body", "cond", "run", "program", "module")):
+        # wrapper events: after self-time accounting, what remains here is
+        # the gap BETWEEN ops — scheduling/sequencing bubbles, not compute
+        return "program/loop gaps (scheduling)"
     if "custom" in n or "flash" in n or "mosaic" in n or "tpu_custom_call" in n:
         return "pallas-kernel (interpolated flash attention)"
     if "conv" in n:
@@ -98,6 +102,47 @@ def classify(name: str) -> str:
     return "other"
 
 
+def base_name(name: str) -> str:
+    """Strip XLA's uniquifying suffixes: 'conv3x3_same.241' -> 'conv3x3_same',
+    'jit_denoise_sequence(304...)' -> 'jit_denoise_sequence'."""
+    name = name.split("(")[0]
+    parts = name.rsplit(".", 1)
+    if len(parts) == 2 and parts[1].isdigit():
+        return parts[0]
+    return name
+
+
+def self_times(events):
+    """(name, self_dur_us) per complete event, per (pid, tid) track.
+
+    Device tracks nest wrapper events (jit_<fn>, while bodies) around the
+    leaf ops; naive summing double-counts every nesting level (the round-5
+    first cut counted the whole 21.7 s program AND its two while loops AND
+    the leaves = 65 s for a 21.7 s run). Standard self-time: sort by
+    (ts asc, dur desc), maintain an open-interval stack, subtract each
+    child's duration from its parent."""
+    by_track = collections.defaultdict(list)
+    for e in events:
+        if e.get("ph") == "X" and e.get("dur") is not None:
+            by_track[(e.get("pid"), e.get("tid"))].append(
+                (float(e["ts"]), float(e["dur"]), e.get("name", "?")))
+    out = []
+    for track in by_track.values():
+        track.sort(key=lambda t: (t[0], -t[1]))
+        stack = []  # [ts, end, name, child_total]
+        for ts, dur, nm in track:
+            while stack and ts >= stack[-1][1] - 1e-9:
+                fin = stack.pop()
+                out.append((fin[2], fin[1] - fin[0] - fin[3]))
+            if stack:
+                stack[-1][3] += dur
+            stack.append([ts, ts + dur, nm, 0.0])
+        while stack:
+            fin = stack.pop()
+            out.append((fin[2], fin[1] - fin[0] - fin[3]))
+    return out
+
+
 def aggregate(trace_dir: str):
     files = sorted(glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")),
                    key=os.path.getmtime)
@@ -109,32 +154,40 @@ def aggregate(trace_dir: str):
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device tracks: pid names containing "TPU" (host python threads excluded)
+    # device tracks: pid names containing "TPU" (host python threads excluded);
+    # within the device pid, drop the "XLA Modules" thread — its events are
+    # whole-program wrappers whose children live on the "XLA Ops" thread, so
+    # cross-track nesting would double-count the entire run
     device_pids = set()
     pid_names = {}
+    module_tracks = set()
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
+        if e.get("ph") != "M":
+            continue
+        if e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
             if "tpu" in e["args"].get("name", "").lower():
                 device_pids.add(e["pid"])
+        elif e.get("name") == "thread_name" and "modules" in e["args"].get("name", "").lower():
+            module_tracks.add((e["pid"], e.get("tid")))
     print("process tracks:", sorted(pid_names.values()))
+    dev_events = [e for e in events if e.get("pid") in device_pids
+                  and (e.get("pid"), e.get("tid")) not in module_tracks]
     by_name = collections.Counter()
     by_class = collections.Counter()
     total = 0.0
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in device_pids:
-            dur = float(e.get("dur", 0.0))
-            nm = e.get("name", "?")
-            if nm.lower().startswith(("run", "program", "module")):  # whole-program wrappers
-                continue
-            by_name[nm] += dur
-            by_class[classify(nm)] += dur
-            total += dur
+    for nm, self_us in self_times(dev_events):
+        if self_us <= 0:
+            continue
+        bn = base_name(nm)
+        by_name[bn] += self_us
+        by_class[classify(bn)] += self_us
+        total += self_us
     if not by_name:
         print("no device events captured (tunnel may not support device tracing)")
         return
-    print(f"\ntotal device-op time: {total / 1e6:.3f} s")
-    print("\n== top-20 ops ==")
+    print(f"\ntotal device self-time: {total / 1e6:.3f} s")
+    print("\n== top-20 op groups (self-time, uniquifier suffixes merged) ==")
     for nm, d in by_name.most_common(20):
         print(f"  {d / 1e6:8.3f} s  {100 * d / total:5.1f}%  {nm}")
     print("\n== op classes ==")
