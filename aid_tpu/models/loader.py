@@ -326,6 +326,43 @@ def infer_single_file_prediction_type(cross_dim: int, global_step) -> str:
     return "epsilon"
 
 
+def resolve_single_file_prediction_type(
+    ckpt_dir: str,
+    explicit: Optional[str],
+    cross_dim: int,
+    global_step,
+) -> Optional[str]:
+    """Resolve the scheduler prediction objective for a single-file load.
+
+    Precedence: an ``explicit`` user value wins; next, a sidecar
+    ``scheduler/scheduler_config.json`` next to the checkpoint that pins
+    prediction_type defers to that config (returns None — load_scheduler
+    already read it; an explicit user config must never be clobbered by
+    metadata from a resumed fine-tune); last, the SD2.x ``global_step``
+    heuristic (``infer_single_file_prediction_type``). SD2.x 768-v bare
+    safetensors exports carry neither config nor metadata — a warning
+    fires on that undetectable combination and epsilon is assumed."""
+    if explicit is not None:
+        return explicit
+    sidecar = os.path.join(ckpt_dir, "scheduler", "scheduler_config.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            if "prediction_type" in json.load(f):
+                return None
+    if cross_dim == 1024 and global_step is None:
+        import warnings
+
+        warnings.warn(
+            "SD2.x single-file checkpoint without global_step metadata "
+            "(typical of bare safetensors exports): cannot detect whether "
+            "this is a 768-v model; defaulting to epsilon. Pass "
+            "prediction_type='v_prediction' if this is a v-objective "
+            "(768px) checkpoint.",
+            stacklevel=3,
+        )
+    return infer_single_file_prediction_type(cross_dim, global_step)
+
+
 def load_single_file_pipeline(
     checkpoint_path: str,
     tokenizer_path: str,
@@ -333,6 +370,7 @@ def load_single_file_pipeline(
     dtype=jnp.bfloat16,
     guidance_scale: Optional[float] = None,
     tokenizer_2_path: Optional[str] = None,
+    prediction_type: Optional[str] = None,
 ):
     """Build an InterpolationPipeline (or InterpolationXLPipeline) from an
     original single-file checkpoint (.safetensors or torch .ckpt).
@@ -348,7 +386,16 @@ def load_single_file_pipeline(
     omitted, ``tokenizer_path``'s vocab is reused but the pad token is
     FORCED to SDXL's tokenizer_2 convention "!" (id 0) — an SD tokenizer
     directory's own config (EOS pad) must not govern the bigG encoder;
-    an explicit ``tokenizer_2_path`` keeps its per-directory config."""
+    an explicit ``tokenizer_2_path`` keeps its per-directory config.
+
+    ``prediction_type`` ('epsilon' / 'v_prediction') pins the scheduler
+    objective explicitly. When omitted, precedence is: a sidecar
+    ``scheduler/scheduler_config.json`` next to the checkpoint that pins
+    prediction_type, then the SD2.x ``global_step`` heuristic
+    (``infer_single_file_prediction_type``). SD2.x 768-v *safetensors*
+    exports carry neither config nor metadata — pass
+    ``prediction_type='v_prediction'`` for those (a warning fires on the
+    undetectable combination)."""
     from aid_tpu.models.params import (
         convert_clip_text_state_dict,
         convert_ldm_checkpoint,
@@ -438,16 +485,19 @@ def load_single_file_pipeline(
 
     # no scheduler_config.json in single-file checkpoints: load_scheduler
     # degrades to the SD-1.x defaults (scaled_linear 0.00085-0.012) and
-    # keeps the name->class dispatch in ONE place
-    scheduler = load_scheduler(os.path.dirname(checkpoint_path) or ".", scheduler_name)
-    if (infer_single_file_prediction_type(cross_dim, global_step)
-            == "v_prediction" and hasattr(scheduler, "config")):
+    # keeps the name->class dispatch in ONE place; prediction-type
+    # precedence lives in resolve_single_file_prediction_type.
+    ckpt_dir = os.path.dirname(checkpoint_path) or "."
+    scheduler = load_scheduler(ckpt_dir, scheduler_name)
+    prediction_type = resolve_single_file_prediction_type(
+        ckpt_dir, prediction_type, cross_dim, global_step)
+    if prediction_type is not None and hasattr(scheduler, "config"):
         import dataclasses
 
         scheduler = dataclasses.replace(
             scheduler,
             config=dataclasses.replace(scheduler.config,
-                                       prediction_type="v_prediction"))
+                                       prediction_type=prediction_type))
 
     return InterpolationPipeline(
         unet=unet, unet_params=unet_params,

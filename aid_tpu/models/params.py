@@ -433,6 +433,11 @@ def convert_ldm_checkpoint(sd: Dict[str, Any], layers_per_block: int = 2,
         # text_projection is unused for conditioning
         layer_idxs = [int(k.split(".")[3]) for k in text_sd
                       if k.startswith("text_model.encoder.layers.")]
+        if not layer_idxs:
+            raise ValueError(
+                "cond_stage_model.model.* present but no "
+                "transformer.resblocks.* layers found — truncated or "
+                "non-text OpenCLIP state dict in SD2.x checkpoint")
         last = max(layer_idxs)
         text_sd = {k: v for k, v in text_sd.items()
                    if not k.startswith(f"text_model.encoder.layers.{last}.")

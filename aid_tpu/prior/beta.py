@@ -135,16 +135,41 @@ class BetaPriorPipeline:
         ims = self.pipe.interpolate_single(t, **kw)
         return ims
 
+    # interpolate_single-only kwargs the full-sequence engine cannot take:
+    # their presence (or a non-linear init) forces sequential generation,
+    # mirroring interpolate_save_gpu's documented fallback.
+    _SINGLE_ONLY_KW = frozenset({
+        "guidance_rescale", "image_embeds_start", "image_embeds_end",
+        "negative_image_embeds", "prompt_embeds_start", "prompt_embeds_end",
+        "negative_prompt_embeds", "guide_prompt_embeds",
+    })
+
+    @classmethod
+    def _batchable(cls, kw) -> bool:
+        """Whether kwargs can ride the full-sequence ``interpolate`` engine
+        (it lerps embeds and has no IP/rescale/embeds-bypass surface)."""
+        if kw.get("init", "linear") != "linear":
+            return False
+        return not any(kw.get(k) is not None for k in cls._SINGLE_ONLY_KW
+                       if k != "guidance_rescale") and not kw.get("guidance_rescale")
+
     def _gen_batch(self, ts: Sequence[float], **kw) -> np.ndarray:
         """Generate middle frames at coefficient points ``ts`` in ONE
         batched (k+2)-frame run (SURVEY §7 "batch candidate points per
         round"): every AID mode sources K/V only from the endpoint rows, so
         each frame equals the middle of a 3-frame interpolate_single run at
         the same point (equivalence pinned in tests/test_prior.py). Returns
-        the (k, H, W, 3) middle frames in ``ts`` order."""
+        the (k, H, W, 3) middle frames in ``ts`` order. Callers must gate on
+        ``_batchable`` — interpolate_single-only kwargs are rejected here."""
         kw = dict(kw)
         kw.setdefault("early", "fused_outer")
-        kw.pop("init", None)  # batched engine is linear-init only
+        assert self._batchable(kw), (
+            "kwargs incompatible with the batched engine: "
+            f"{sorted(k for k in self._SINGLE_ONLY_KW if kw.get(k) is not None)}"
+            f" init={kw.get('init', 'linear')!r}")
+        kw.pop("init", None)
+        for k in self._SINGLE_ONLY_KW:
+            kw.pop(k, None)
         seed = kw.pop("seed", 0)
         if kw.get("latent_start") is None:
             kw["latent_start"] = self.pipe.generate_latent(seed)
@@ -190,10 +215,20 @@ class BetaPriorPipeline:
             latent_end=latent_end, num_inference_steps=num_inference_steps,
             **kwargs,
         )
+        if batch_k > 1 and not self._batchable(kw):
+            import warnings
+
+            warnings.warn(
+                "batch_k > 1 requested with interpolate_single-only kwargs "
+                "(IP embeds / embeds bypass / guidance_rescale / non-linear "
+                "init); falling back to sequential exploration (batch_k=1)",
+                stacklevel=2,
+            )
+            batch_k = 1
         xs = [0.0, 0.5, 1.0]
         ims = self._gen(0.5, **kw)
         images = [ims[0], ims[1], ims[2]]
-        features = [self.feature_fn(im[None])[0] for im in images]
+        features = list(self.feature_fn(np.stack([np.asarray(im) for im in images])))
         ds = [self._dist(features[0], features[1]), self._dist(features[1], features[2])]
         alpha, beta = init_alpha, init_beta
 
@@ -237,11 +272,12 @@ class BetaPriorPipeline:
                 new_imgs = self._gen(t, **kw)[1:2]
             else:
                 new_imgs = self._gen_batch([t for _, t in cand], **kw)
+            new_feats = self.feature_fn(
+                np.stack([np.asarray(im) for im in new_imgs]))
             # insert in descending gap-index order so earlier inserts don't
             # shift later candidates' gap indices
-            for (idx, t), img in sorted(
-                    zip(cand, new_imgs), key=lambda p: -p[0][0]):
-                new_feat = self.feature_fn(np.asarray(img)[None])[0]
+            for (idx, t), img, new_feat in sorted(
+                    zip(cand, new_imgs, new_feats), key=lambda p: -p[0][0]):
                 _insert(idx, t, img, new_feat)
             if uniform:
                 alpha, beta = 1.0, 1.0

@@ -310,16 +310,24 @@ def main():
 
     encode_prompts()  # compile + warmup
     force(decode())
-    timer = PhaseTimer()
-    with timer.phase("text_encode") as ph:
-        ph.sync(encode_prompts())  # force() already pulled to host
-    with timer.phase("denoise") as ph:
-        ph.sync(force(run(sample * state.init_noise_sigma)))
-    with timer.phase("vae_decode") as ph:
-        ph.sync(force(decode()))
-    phase_p50 = {k: round(v, 3) for k, v in timer.totals.items()}
-    full_latency = sum(timer.totals.values())
-    phase_share = {k: round(v / full_latency, 3) for k, v in timer.totals.items()}
+    # p50 of 3 passes per phase (matching latency_s_p50's median-of-3 —
+    # a single sample labeled p50 would bake one noisy pass into the
+    # artifact; round-5 review finding)
+    phase_samples = {}
+    for _ in range(3):
+        timer = PhaseTimer()
+        with timer.phase("text_encode") as ph:
+            ph.sync(encode_prompts())  # force() already pulled to host
+        with timer.phase("denoise") as ph:
+            ph.sync(force(run(sample * state.init_noise_sigma)))
+        with timer.phase("vae_decode") as ph:
+            ph.sync(force(decode()))
+        for k, v in timer.totals.items():
+            phase_samples.setdefault(k, []).append(v)
+    phase_p50 = {k: round(sorted(v)[len(v) // 2], 3)
+                 for k, v in phase_samples.items()}
+    full_latency = sum(phase_p50.values())
+    phase_share = {k: round(v / full_latency, 3) for k, v in phase_p50.items()}
 
     # ---- Dynamic-selection workload (VERDICT r4 missing #3 / SURVEY §7):
     # BetaPriorPipeline.generate_interpolation (exploration 16 -> 7 frames,

@@ -182,6 +182,43 @@ class TestBatchedExploration:
         assert bat.calls == ref.calls
         assert bat.batch_calls == []
 
+    def test_batch_k_falls_back_on_single_only_kwargs(self):
+        """interpolate_single-only kwargs (IP embeds / rescale / non-linear
+        init) cannot ride the full-sequence engine: batch_k>1 must warn and
+        degrade to the sequential reference path, never silently drop the
+        kwarg (round-5 _batchable gate)."""
+        import warnings
+
+        for kw in ({"guidance_rescale": 0.7},
+                   {"image_embeds_start": np.zeros((1, 4), np.float32),
+                    "image_embeds_end": np.zeros((1, 4), np.float32)},
+                   {"init": "denoising"}):
+            pipe = _FakePipe()
+            bp = BetaPriorPipeline(pipe, _fake_features)
+            with pytest.warns(UserWarning, match="sequential"):
+                *_, xs, _, _ = bp.explore_with_beta(
+                    "a", "b", exploration_size=6, batch_k=3,
+                    num_inference_steps=2, **kw)
+            assert len(xs) == 6
+            assert pipe.batch_calls == []  # all frames went through _gen
+        # a None-valued single-only kwarg is NOT a conflict: stays batched
+        pipe = _FakePipe()
+        bp = BetaPriorPipeline(pipe, _fake_features)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            bp.explore_with_beta(
+                "a", "b", exploration_size=6, batch_k=3,
+                num_inference_steps=2, guidance_rescale=None,
+                image_embeds_start=None)
+        assert len(pipe.batch_calls) >= 1
+
+    def test_gen_batch_rejects_unbatchable_kwargs(self):
+        bp = BetaPriorPipeline(_FakePipe(), _fake_features)
+        with pytest.raises(AssertionError, match="incompatible"):
+            bp._gen_batch([0.5], prompt_start="a", prompt_end="b",
+                          latent_start=None, latent_end=None,
+                          guidance_rescale=0.5)
+
     def test_generate_interpolation_batched(self):
         pipe = _FakePipe()
         bp = BetaPriorPipeline(pipe, _fake_features)

@@ -352,6 +352,67 @@ class TestSingleFileSD2:
         assert infer_single_file_prediction_type(1024, None) == "epsilon"
         assert infer_single_file_prediction_type(768, 875_000) == "epsilon"
 
+    def test_resolve_prediction_type_precedence(self, tmp_path):
+        """Explicit arg > sidecar scheduler config > global_step heuristic
+        (loader.resolve_single_file_prediction_type)."""
+        import json as _json
+        import warnings
+
+        from aid_tpu.models.loader import resolve_single_file_prediction_type
+
+        d = str(tmp_path)
+        # explicit always wins, even over a pinning sidecar
+        sched_dir = tmp_path / "scheduler"
+        sched_dir.mkdir()
+        (sched_dir / "scheduler_config.json").write_text(
+            _json.dumps({"prediction_type": "epsilon"}))
+        assert resolve_single_file_prediction_type(
+            d, "v_prediction", 1024, None) == "v_prediction"
+        # a pinning sidecar defers to load_scheduler (returns None), and
+        # suppresses the heuristic + the undetectable-SD2.x warning
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert resolve_single_file_prediction_type(
+                d, None, 1024, None) is None
+        # a sidecar WITHOUT prediction_type does not pin: heuristic applies
+        (sched_dir / "scheduler_config.json").write_text(
+            _json.dumps({"_class_name": "DDIMScheduler"}))
+        assert resolve_single_file_prediction_type(
+            d, None, 1024, 875_000) == "v_prediction"
+        # no sidecar at all: heuristic
+        assert resolve_single_file_prediction_type(
+            str(tmp_path / "nosuch"), None, 1024, 875_000) == "v_prediction"
+        assert resolve_single_file_prediction_type(
+            str(tmp_path / "nosuch"), None, 768, None) == "epsilon"
+
+    def test_resolve_prediction_type_warns_undetectable_sd2(self, tmp_path):
+        """SD2.x (cross_dim=1024) bare safetensors (no global_step, no
+        sidecar) is undetectable: warn and default to epsilon; SD1.x must
+        stay silent."""
+        import warnings
+
+        from aid_tpu.models.loader import resolve_single_file_prediction_type
+
+        with pytest.warns(UserWarning, match="v-objective"):
+            got = resolve_single_file_prediction_type(
+                str(tmp_path), None, 1024, None)
+        assert got == "epsilon"
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            assert resolve_single_file_prediction_type(
+                str(tmp_path), None, 768, None) == "epsilon"
+
+    def test_openclip_converter_rejects_truncated_text_tower(self):
+        """cond_stage_model.model.* present but no resblocks: a truncated
+        or non-text OpenCLIP state dict must fail loudly, not max() on an
+        empty sequence (params.py guard)."""
+        with pytest.raises(ValueError, match="truncated or"):
+            convert_ldm_checkpoint({
+                "model.diffusion_model.x": np.zeros(2),
+                "cond_stage_model.model.token_embedding.weight":
+                    np.zeros((4, 8), np.float32),
+            })
+
     def test_xl_converter_rejects_sd(self):
         from aid_tpu.models.params import convert_ldm_checkpoint_xl
 

@@ -20,6 +20,7 @@ import glob
 import gzip
 import json
 import os
+import re
 import time
 
 import jax
@@ -89,8 +90,16 @@ def classify(name: str) -> str:
         return "program/loop gaps (scheduling)"
     if "custom" in n or "flash" in n or "mosaic" in n or "tpu_custom_call" in n:
         return "pallas-kernel (interpolated flash attention)"
-    if "conv" in n:
+    if re.search(r"conv(?!ert)", n):
+        # "conv" NOT followed by "ert": conv3x3 / convolution_* match, but
+        # dtype-cast ops ("convert", incl. convert_reduce_fusion = the fp32
+        # GroupNorm stats passes) must NOT be attributed to convolutions —
+        # a plain "conv" substring test misclassified 16.1% of the round-5
+        # trace (convolution_convert_fusion still counts as a conv: its
+        # first "conv" is the convolution)
         return "convolution"
+    if "convert" in n:
+        return "fusion (elementwise/GN/GEGLU glue)"
     if "dot" in n or "gemm" in n or "matmul" in n or "einsum" in n:
         return "matmul"
     if "all-gather" in n or "all-reduce" in n or "collective" in n or "copy" in n:
