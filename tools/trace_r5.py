@@ -199,9 +199,54 @@ def aggregate(trace_dir: str):
     print("\n== top-20 op groups (self-time, uniquifier suffixes merged) ==")
     for nm, d in by_name.most_common(20):
         print(f"  {d / 1e6:8.3f} s  {100 * d / total:5.1f}%  {nm}")
-    print("\n== op classes ==")
+    print("\n== op classes (name-based; see hlo_category table for the"
+          " authoritative attribution) ==")
     for cl, d in by_class.most_common():
         print(f"  {d / 1e6:8.3f} s  {100 * d / total:5.1f}%  {cl}")
+    aggregate_by_category(events)
+
+
+def aggregate_by_category(events):
+    """Authoritative per-class roofline table from the profiler's own HLO
+    metadata (leaf events only — every leaf op carries ``hlo_category``;
+    wrappers carry none or 'while', so no self-time subtraction is needed).
+
+    Name-based classification is MISLEADING on TPU: XLA names a fusion
+    after its OUTPUT/epilogue ops, so a convolution fusion whose epilogue
+    computes GroupNorm statistics is named ``convert_reduce_fusion`` — the
+    round-5 name-based table attributed 6.7 s of convolution-category time
+    (3.4 s of it under convert_reduce_*) to "elementwise/GN fusions".
+    ``hlo_category`` classifies by the fusion's ROOT cost instead, and the
+    per-event ``bytes_accessed`` / ``model_flops`` give achieved GB/s and
+    TF/s per class, i.e. the distance to each class's own roofline
+    (v5e: 197 TF/s bf16 MXU peak, 819 GB/s HBM)."""
+    agg = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        a = e.get("args") or {}
+        cat = a.get("hlo_category")
+        if cat is None or cat == "while":
+            continue
+        agg[cat][0] += float(e.get("dur", 0))
+        agg[cat][1] += float(a.get("bytes_accessed", 0))
+        agg[cat][2] += float(a.get("model_flops", 0) or 0)
+    if not agg:
+        print("\n(no hlo_category metadata in this trace)")
+        return
+    tot = sum(v[0] for v in agg.values())
+    totf = sum(v[2] for v in agg.values())
+    print(f"\n== hlo_category roofline table (leaf total {tot / 1e6:.3f} s,"
+          f" {totf / 1e12:.0f} TFLOP costed by XLA) ==")
+    print(f"  {'category':26s} {'dur_s':>7s} {'share':>6s} {'TB':>6s}"
+          f" {'GB/s':>5s} {'TFLOP':>7s} {'TF/s':>6s}")
+    for cat, (d, b, f) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {cat:26s} {d / 1e6:7.3f} {100 * d / tot:5.1f}%"
+              f" {b / 1e12:6.2f} {b / 1e3 / d if d else 0:5.0f}"
+              f" {f / 1e12:7.1f} {f / d * 1e-6 if d else 0:6.1f}")
+    print("  (custom-call = Pallas kernels; XLA cannot cost their flops —"
+          " attribute the bench.py jaxpr-walker total minus the costed"
+          " TFLOP above to them)")
 
 
 if __name__ == "__main__":
