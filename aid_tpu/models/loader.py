@@ -326,6 +326,23 @@ def infer_single_file_prediction_type(cross_dim: int, global_step) -> str:
     return "epsilon"
 
 
+def apply_prediction_type(scheduler, prediction_type: str):
+    """Return ``scheduler`` with its prediction objective pinned.
+
+    Most schedulers carry a nested frozen ``config`` dataclass; the EDM
+    solver stores ``prediction_type`` as a direct dataclass field
+    (schedulers/edm_dpm.py:44) — a hasattr-config guard alone would
+    silently drop an explicit pin for it."""
+    import dataclasses
+
+    if hasattr(scheduler, "config"):
+        return dataclasses.replace(
+            scheduler,
+            config=dataclasses.replace(scheduler.config,
+                                       prediction_type=prediction_type))
+    return dataclasses.replace(scheduler, prediction_type=prediction_type)
+
+
 def resolve_single_file_prediction_type(
     ckpt_dir: str,
     explicit: Optional[str],
@@ -491,19 +508,22 @@ def load_single_file_pipeline(
     scheduler = load_scheduler(ckpt_dir, scheduler_name)
     prediction_type = resolve_single_file_prediction_type(
         ckpt_dir, prediction_type, cross_dim, global_step)
-    if prediction_type is not None and hasattr(scheduler, "config"):
-        import dataclasses
-
-        scheduler = dataclasses.replace(
-            scheduler,
-            config=dataclasses.replace(scheduler.config,
-                                       prediction_type=prediction_type))
+    if prediction_type is not None:
+        scheduler = apply_prediction_type(scheduler, prediction_type)
 
     return InterpolationPipeline(
         unet=unet, unet_params=unet_params,
         vae=vae, vae_params=vae_params,
         text_encoder=text, text_params=text_params,
-        tokenizer=load_tokenizer(tokenizer_path),
+        # SD2.x's OpenCLIP ViT-H tower was trained with id-0 ("!") padding
+        # (the SD2 tokenizer dirs ship pad_token "!"), while SD1.x
+        # tokenizer dirs pad with EOS — and the docstring blesses "any SD
+        # checkpoint's tokenizer/ subfolder". Pad-position hidden states
+        # feed cross-attention for every short prompt, so force the
+        # OpenCLIP convention for the 1024-cross-dim layout (mirrors the
+        # SDXL tokenizer_2 handling above).
+        tokenizer=(load_tokenizer(tokenizer_path, pad_token="!")
+                   if cross_dim == 1024 else load_tokenizer(tokenizer_path)),
         scheduler=scheduler,
         guidance_scale=7.5 if guidance_scale is None else guidance_scale,
     )

@@ -591,23 +591,26 @@ class InterpolationPipeline:
         beta: Optional[float] = None,
         init: str = "linear",
         guidance_scale: Optional[float] = None,
-        batched: bool = True,
+        batched: bool = False,
     ) -> np.ndarray:
         """Frame-at-a-time stitched generation (reference gradio :306-392).
 
-        Reference semantics: (size-2) 3-frame runs at Beta-PPF points,
-        stitched [first 2] + middles + [last] — which re-denoises BOTH
-        endpoint frames on every call (3(size-2) frame-denoises for size
-        frames). ``batched=True`` (default) computes the mathematically
-        identical sequence in ONE size-frame batched run via
-        ``interpolate(ts=...)`` — every AID mode sources K/V only from the
-        endpoint rows, so each middle frame depends only on its own
-        latent/embeds and the two endpoint trajectories (SURVEY §7;
-        equivalence pinned in tests/test_pipeline.py). Set ``batched=False``
-        for the reference's exact sequential structure (memory-light mode).
-        ``init='denoising'`` routes to the denoising-interpolation baseline;
-        non-linear ``init`` falls back to the sequential path (the batched
-        engine lerps embeds).
+        Reference semantics (the default): (size-2) 3-frame runs at
+        Beta-PPF points, stitched [first 2] + middles + [last] — which
+        re-denoises BOTH endpoint frames on every call (3(size-2)
+        frame-denoises for size frames) but caps peak memory at one
+        3-frame program: this API exists precisely as the memory-light
+        mode, so a large ``size`` must keep fitting where it used to.
+        ``batched=True`` opts into the mathematically identical sequence
+        in ONE size-frame batched run via ``interpolate(ts=...)`` — every
+        AID mode sources K/V only from the endpoint rows, so each middle
+        frame depends only on its own latent/embeds and the two endpoint
+        trajectories (SURVEY §7; equivalence pinned in
+        tests/test_pipeline.py) — at `size/3(size-2)` the frame-denoise
+        cost, with the whole sequence resident on device.
+        ``init='denoising'`` routes to the denoising-interpolation
+        baseline; non-linear ``init`` falls back to the sequential path
+        (the batched engine lerps embeds).
         """
         if alpha is None:
             alpha = float(num_inference_steps)

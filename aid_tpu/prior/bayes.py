@@ -121,9 +121,11 @@ def bayesian_prior_selection(
     Objective cost (SURVEY §7): the reference's objective drives
     interpolate_save_gpu's (size-2) separate 3-frame runs per BO step
     (/root/reference/prior.py:398-412) — 3(size-2) frame-denoises each.
-    Here interpolate_save_gpu defaults to its batched fast path (one
-    size-frame run at the Beta-PPF points, mathematically identical output),
-    so each BO step costs `size` frame-denoises.
+    Here the objective explicitly requests interpolate_save_gpu's batched
+    fast path (one size-frame run at the Beta-PPF points, mathematically
+    identical output), so each BO step costs `size` frame-denoises.
+    (interpolate_save_gpu itself defaults to the reference's sequential
+    memory-light structure.)
     """
 
     def smoothness_of(images) -> float:
@@ -154,6 +156,7 @@ def bayesian_prior_selection(
             negative_prompt=negative_prompt, size=size,
             num_inference_steps=num_inference_steps, warmup_ratio=warmup_ratio,
             early=early, late=late, alpha=alpha, beta=beta,
+            batched=True,  # the BO objective is the hot loop (SURVEY §7)
         )
         return smoothness_of(seq)
 

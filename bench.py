@@ -45,8 +45,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 NOTE (axon): block_until_ready() is a no-op over the tunnel; execution is
 forced by pulling a scalar checksum to host.
 
-Set AID_BENCH_TINY=1 for a CPU-runnable structural smoke of every section
-(tiny configs, few steps — validates the code paths, not performance).
+Set AID_BENCH_TINY=1 for a structural smoke of every section (tiny
+configs, few steps — validates the code paths, not performance), and add
+AID_BENCH_CPU=1 to actually run it on the CPU backend (without it the
+axon sitecustomize routes even tiny runs over the TPU tunnel, where
+per-dispatch latency makes the smoke take tens of minutes).
 """
 
 import json
@@ -54,6 +57,15 @@ import os
 import time
 
 import jax
+
+# AID_BENCH_CPU=1 forces the CPU backend. NOTE: the JAX_PLATFORMS env var
+# does NOT work in this image — the axon sitecustomize registers the TPU
+# backend at interpreter start regardless — so the CPU structural smoke
+# must flip the platform here, before any device use, or it silently runs
+# against the TPU tunnel (and contends with a concurrent real bench).
+if os.environ.get("AID_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 # persistent compilation cache: the cold Mosaic/XLA compile of the full loop
@@ -94,23 +106,40 @@ def _random_params(shapes, dtype):
     return jax.tree_util.tree_map(leaf, shapes)
 
 
-def main():
+def build_headline(num_steps=None, frames=None, latent=None):
+    """The headline program — 7-frame SDXL 1024px fused-outer AID sequence
+    — as a namespace, shared by this bench AND tools/trace_r5.py (the round
+    trace must profile the EXACT program the bench times; a drifting copy
+    would invalidate the PERF.md attribution).
+
+    Returns a SimpleNamespace with the model/program pieces (unet, cfg,
+    params, sample, ehs, uncond, coef, scheduler, state, added) plus
+    ``run(latents)`` (denoise_sequence — donates latents, pass a fresh
+    product per call) and ``force(out)`` (checksum pull: forces execution
+    on axon where block_until_ready is a no-op, and asserts finiteness)."""
+    from types import SimpleNamespace
+
     from aid_tpu.models import UNet2DCondition, configs
     from aid_tpu.models.layers import AidMode
+    from aid_tpu.ops.interp import generate_beta_schedule
     from aid_tpu.pipelines import engine
     from aid_tpu.schedulers.euler import EulerDiscreteScheduler
+
+    num_steps = NUM_STEPS if num_steps is None else num_steps
+    frames = FRAMES if frames is None else frames
+    latent = LATENT if latent is None else latent
 
     dtype = jnp.bfloat16
     cfg = configs.TINY_SDXL_UNET if TINY else configs.SDXL_UNET
     unet = UNet2DCondition(cfg, dtype=dtype)
 
     pooled_dim = cfg.projection_class_embeddings_input_dim - 6 * cfg.addition_time_embed_dim
-    sample = jax.random.normal(jax.random.PRNGKey(0), (FRAMES, LATENT, LATENT, cfg.in_channels), dtype)
-    ehs = jax.random.normal(jax.random.PRNGKey(1), (FRAMES, 77, cfg.cross_attention_dim), dtype)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (frames, latent, latent, cfg.in_channels), dtype)
+    ehs = jax.random.normal(jax.random.PRNGKey(1), (frames, 77, cfg.cross_attention_dim), dtype)
     added = {
-        "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (FRAMES, pooled_dim), dtype),
+        "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (frames, pooled_dim), dtype),
         "time_ids": jnp.broadcast_to(
-            jnp.array([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]), (FRAMES, 6)
+            jnp.array([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]), (frames, 6)
         ),
     }
     params = jax.eval_shape(
@@ -126,11 +155,9 @@ def main():
     # below is only meaningful with finite activations.
     params = _random_params(params, dtype)
 
-    from aid_tpu.ops.interp import generate_beta_schedule
-
     scheduler = EulerDiscreteScheduler()
-    state = scheduler.init(NUM_STEPS)
-    coef = jnp.asarray(generate_beta_schedule(FRAMES, NUM_STEPS, NUM_STEPS, force_endpoints=True))
+    state = scheduler.init(num_steps)
+    coef = jnp.asarray(generate_beta_schedule(frames, num_steps, num_steps, force_endpoints=True))
     uncond = jax.random.normal(jax.random.PRNGKey(4), ehs.shape, dtype)
 
     def run(latents):
@@ -139,7 +166,7 @@ def main():
             latents, ehs, uncond, coef, state, jnp.float32(5.0),
             early=AidMode.from_name("fused_outer"),
             late=AidMode.vanilla(),
-            num_steps=NUM_STEPS, warmup_steps=NUM_STEPS // 2,
+            num_steps=num_steps, warmup_steps=num_steps // 2,
             added_cond=added,
         )
 
@@ -151,6 +178,25 @@ def main():
         assert val == val and abs(val) != float("inf"), (
             f"non-finite bench output checksum: {val}")
         return val
+
+    return SimpleNamespace(
+        unet=unet, cfg=cfg, params=params, sample=sample, ehs=ehs,
+        uncond=uncond, coef=coef, scheduler=scheduler, state=state,
+        added=added, run=run, force=force, dtype=dtype,
+    )
+
+
+def main():
+    from aid_tpu.models import UNet2DCondition, configs
+    from aid_tpu.models.layers import AidMode
+    from aid_tpu.ops.interp import generate_beta_schedule
+    from aid_tpu.pipelines import engine
+
+    hl = build_headline()
+    unet, cfg, params = hl.unet, hl.cfg, hl.params
+    sample, ehs, uncond, coef = hl.sample, hl.ehs, hl.uncond, hl.coef
+    scheduler, state, added = hl.scheduler, hl.state, hl.added
+    run, force, dtype = hl.run, hl.force, hl.dtype
 
     force(run(sample * state.init_noise_sigma))  # compile + warmup
 

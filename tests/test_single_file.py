@@ -402,6 +402,18 @@ class TestSingleFileSD2:
             assert resolve_single_file_prediction_type(
                 str(tmp_path), None, 768, None) == "epsilon"
 
+    def test_apply_prediction_type_both_scheduler_layouts(self):
+        """Nested-config schedulers AND the EDM solver (direct field —
+        a hasattr-config guard alone silently dropped the pin there)."""
+        from aid_tpu.models.loader import apply_prediction_type
+        from aid_tpu.schedulers.ddim import DDIMScheduler
+        from aid_tpu.schedulers.edm_dpm import EDMDPMSolverScheduler
+
+        d = apply_prediction_type(DDIMScheduler(), "v_prediction")
+        assert d.config.prediction_type == "v_prediction"
+        e = apply_prediction_type(EDMDPMSolverScheduler(), "v_prediction")
+        assert e.prediction_type == "v_prediction"
+
     def test_openclip_converter_rejects_truncated_text_tower(self):
         """cond_stage_model.model.* present but no resblocks: a truncated
         or non-text OpenCLIP state dict must fail loudly, not max() on an

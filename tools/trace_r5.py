@@ -24,60 +24,26 @@ import re
 import time
 
 import jax
-import jax.numpy as jnp
-
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/aid_tpu_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build_run():
-    from aid_tpu.models import UNet2DCondition, configs
-    from aid_tpu.models.layers import AidMode
-    from aid_tpu.ops.interp import generate_beta_schedule
-    from aid_tpu.pipelines import engine
-    from aid_tpu.schedulers.euler import EulerDiscreteScheduler
+    """The EXACT headline program the bench times, via bench.build_headline
+    — a drifting local copy here would profile a different program than the
+    one BENCH_r*.json reports and invalidate the PERF.md attribution
+    (round-5 review finding: the old copy hardcoded the pooled-embed width
+    the bench derives from the config)."""
+    import sys
 
-    dtype = jnp.bfloat16
-    cfg = configs.SDXL_UNET
-    unet = UNet2DCondition(cfg, dtype=dtype)
-    frames, latent, steps = 7, 128, ARGS.steps
-    sample = jax.random.normal(jax.random.PRNGKey(0), (frames, latent, latent, cfg.in_channels), dtype)
-    ehs = jax.random.normal(jax.random.PRNGKey(1), (frames, 77, cfg.cross_attention_dim), dtype)
-    added = {
-        "text_embeds": jax.random.normal(jax.random.PRNGKey(2), (frames, 1280), dtype),
-        "time_ids": jnp.broadcast_to(jnp.array([1024.0, 1024.0, 0.0, 0.0, 1024.0, 1024.0]), (frames, 6)),
-    }
-    shapes = jax.eval_shape(
-        lambda r: unet.init(r, sample[:1], jnp.array(0), ehs[:1], None,
-                            {k: v[:1] for k, v in added.items()}),
-        jax.random.PRNGKey(3),
-    )
-    counter = iter(range(10 ** 6))
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
 
-    def leaf(s):
-        if s.dtype not in (jnp.float32, jnp.bfloat16):
-            return jnp.zeros(s.shape, s.dtype)
-        k = jax.random.fold_in(jax.random.PRNGKey(6), next(counter))
-        return (jax.random.normal(k, s.shape, jnp.float32) * 0.02).astype(dtype)
-
-    params = jax.tree_util.tree_map(leaf, shapes)
-    scheduler = EulerDiscreteScheduler()
-    state = scheduler.init(steps)
-    coef = jnp.asarray(generate_beta_schedule(frames, steps, steps, force_endpoints=True))
-    uncond = jax.random.normal(jax.random.PRNGKey(4), ehs.shape, dtype)
+    hl = bench.build_headline(num_steps=ARGS.steps)
 
     def run():
         # denoise_sequence donates latents: rebuild per call
-        out = engine.denoise_sequence(
-            unet, scheduler, params,
-            sample * state.init_noise_sigma, ehs, uncond, coef, state,
-            jnp.float32(5.0),
-            early=AidMode.from_name("fused_outer"), late=AidMode.vanilla(),
-            num_steps=steps, warmup_steps=steps // 2, added_cond=added,
-        )
-        val = float(jnp.sum(out.astype(jnp.float32)))  # force (axon: block_until_ready no-op)
-        assert val == val, "NaN output"
-        return val
+        return hl.force(hl.run(hl.sample * hl.state.init_noise_sigma))
 
     return run
 
