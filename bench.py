@@ -476,4 +476,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from aid_tpu.utils.tpulock import tpu_lock
+
+    # serialize tunnel access: two concurrent axon dialers deadlock the
+    # chip claim (round-5 finding); a second launch waits here instead
+    with tpu_lock():
+        main()

@@ -409,3 +409,42 @@ class TestUnicodeTokenization:
         a = list(tiny_tokenizer("café")[0])
         b = list(tiny_tokenizer("caf é")[0])
         assert a != b
+
+
+class TestTpuLock:
+    """aid_tpu.utils.tpulock — serializes axon tunnel access (round-5
+    operational finding: concurrent dialers deadlock the chip claim)."""
+
+    def test_noop_on_cpu_backend(self, tmp_path, monkeypatch):
+        from aid_tpu.utils import tpulock
+
+        path = str(tmp_path / "lk")
+        # default backend under tests is CPU -> lock file never created
+        with tpulock.tpu_lock(path):
+            pass
+        import os
+        assert not os.path.exists(path)
+
+    def test_flock_serializes_and_releases(self, tmp_path, monkeypatch):
+        import fcntl
+        import os
+
+        from aid_tpu.utils import tpulock
+
+        monkeypatch.setattr(tpulock, "backend_is_tpu", lambda: True)
+        path = str(tmp_path / "lk")
+        with tpulock.tpu_lock(path, announce=False):
+            assert os.path.exists(path)
+            # a second (would-be concurrent) claimant cannot take it
+            fd = os.open(path, os.O_RDWR)
+            try:
+                import pytest
+
+                with pytest.raises(BlockingIOError):
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            finally:
+                os.close(fd)
+            assert open(path).read() == str(os.getpid())
+        # released on exit: immediate re-acquisition succeeds
+        with tpulock.tpu_lock(path, announce=False):
+            pass

@@ -133,6 +133,17 @@ def smoke_vae_attention():
 
 
 if __name__ == "__main__":
+    import contextlib
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from aid_tpu.utils.tpulock import tpu_lock
+
+    # serialize tunnel access (two concurrent axon dialers deadlock the
+    # chip claim — round-5 finding); held for the whole matrix below via
+    # ExitStack so the file's existing flat layout stays unchanged
+    _lock = contextlib.ExitStack()
+    _lock.enter_context(tpu_lock())
     print(json.dumps({"devices": str(jax.devices())}), flush=True)
     results = []
     # (name, config, latent, mode, ip, scale_control)

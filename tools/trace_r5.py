@@ -223,13 +223,21 @@ if __name__ == "__main__":
                    help="skip execution; aggregate an existing trace dir")
     ARGS = p.parse_args()
     if not ARGS.parse_only:
-        run = build_run()
-        t0 = time.perf_counter()
-        run()  # compile + warm (persistent cache)
-        print(f"warmup {time.perf_counter() - t0:.1f}s; tracing one run...")
-        jax.profiler.start_trace(ARGS.out)
-        t0 = time.perf_counter()
-        run()
-        jax.profiler.stop_trace()
-        print(f"traced run {time.perf_counter() - t0:.1f}s -> {ARGS.out}")
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from aid_tpu.utils.tpulock import tpu_lock
+
+        # serialize tunnel access (two concurrent axon dialers deadlock
+        # the chip claim — round-5 finding)
+        with tpu_lock():
+            run = build_run()
+            t0 = time.perf_counter()
+            run()  # compile + warm (persistent cache)
+            print(f"warmup {time.perf_counter() - t0:.1f}s; tracing one run...")
+            jax.profiler.start_trace(ARGS.out)
+            t0 = time.perf_counter()
+            run()
+            jax.profiler.stop_trace()
+            print(f"traced run {time.perf_counter() - t0:.1f}s -> {ARGS.out}")
     aggregate(ARGS.out)
